@@ -1,0 +1,7 @@
+from splade_easy_spark.data.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    generate_transcripts,
+    generate_query_set,
+)
+
+__all__ = ["TRANSCRIPT_SCHEMA", "generate_transcripts", "generate_query_set"]

@@ -1,0 +1,160 @@
+"""Deterministic synthetic multi-turn transcript corpus.
+
+Input contract (driver ``input_hint``): an Iceberg/Parquet table
+``(conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING,
+ts TIMESTAMP)``.  This module synthesises that table at any scale with no
+external data, fully distributed: ``spark.range(num_convs)`` fans out over
+executors and a ``mapInPandas`` batch generator emits each conversation's
+turns from a NumPy RNG seeded by ``(seed, conv_index)`` — so the corpus is
+byte-identical no matter the partitioning or cluster size (a requirement for
+the N-vs-4N scaling evidence: same input at both parallelism levels).
+
+Shape mirrors FIXTURES.md §1: ~8–64 turns/conversation, roles cycling
+user/assistant/tool (hot low-cardinality terms — deliberate skew for the
+salting path), Zipfian token mix over a ~5k-word vocabulary, 5–200 tokens
+per turn, plus tokenizer edge cases (empty turns, ALL-CAPS/punctuation
+variants, repeated tokens).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("role", StringType(), False),
+        StructField("text", StringType(), False),
+        StructField("tool", StringType(), True),
+        StructField("ts", TimestampType(), False),
+    ]
+)
+
+VOCAB_SIZE = 5000
+_ROLES = ["user", "assistant", "tool"]
+_TOOLS = ["bash", "search", "python", "browser", "editor"]
+_SYLLABLES = [
+    "ba", "ce", "di", "fo", "gu", "ha", "je", "ki", "lo", "mu",
+    "na", "pe", "qi", "ro", "su", "ta", "ve", "wi", "xo", "zu",
+    "bra", "cle", "dri", "flo", "gru", "pla", "ste", "tri", "vlo", "kra",
+]
+
+
+def make_vocab(size: int = VOCAB_SIZE) -> list[str]:
+    """Deterministic pseudo-word vocabulary; word i is a fixed syllable
+    composition of its index (no RNG — stable across processes)."""
+    n = len(_SYLLABLES)
+    out = []
+    for i in range(size):
+        a, b, c = i % n, (i // n) % n, (i // (n * n)) % n
+        w = _SYLLABLES[a] + _SYLLABLES[b]
+        if i >= n * n:
+            w += _SYLLABLES[c]
+        out.append(w + str(i % 10))
+    return out
+
+
+def _zipf_probs(size: int, s: float = 1.07) -> np.ndarray:
+    ranks = np.arange(1, size + 1, dtype=np.float64)
+    p = 1.0 / ranks**s
+    return p / p.sum()
+
+
+_EPOCH = np.datetime64("2025-01-01T00:00:00")
+
+
+def _gen_conv(conv_idx: int, seed: int, vocab: np.ndarray, probs: np.ndarray) -> dict:
+    rng = np.random.default_rng(np.uint64(seed * 1_000_003 + conv_idx))
+    n_turns = int(rng.integers(8, 65))
+    conv_id = f"conv_{conv_idx:08d}"
+    rows: dict[str, list] = {
+        "conv_id": [], "turn_idx": [], "role": [], "text": [], "tool": [], "ts": [],
+    }
+    base_ts = _EPOCH + np.timedelta64(int(conv_idx) * 3600, "s")
+    for t in range(n_turns):
+        role = _ROLES[t % 3] if rng.random() < 0.9 else _ROLES[int(rng.integers(0, 3))]
+        tool = _TOOLS[int(rng.integers(0, len(_TOOLS)))] if role == "tool" else None
+        edge = rng.random()
+        if edge < 0.02:
+            text = ""  # empty-turn edge case
+        else:
+            n_tok = int(rng.integers(5, 201))
+            words = vocab[rng.choice(len(vocab), size=n_tok, p=probs)]
+            if edge < 0.06:  # repeated-token turn
+                words = np.repeat(words[: max(1, n_tok // 4)], 4)[:n_tok]
+            text = " ".join(words.tolist())
+            if edge < 0.10:  # case/punctuation variants
+                text = text.upper().replace(" ", ", ", 3) + "!"
+            elif edge < 0.14:
+                text = text.capitalize() + "."
+        rows["conv_id"].append(conv_id)
+        rows["turn_idx"].append(t)
+        rows["role"].append(role)
+        rows["text"].append(text)
+        rows["tool"].append(tool)
+        rows["ts"].append(base_ts + np.timedelta64(t * 30, "s"))
+    return rows
+
+
+def generate_transcripts(
+    spark: SparkSession,
+    num_convs: int = 100,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic transcript generator."""
+    if num_partitions is None:
+        num_partitions = min(max(1, num_convs // 50), 64)
+    vocab = np.array(make_vocab(), dtype=object)
+    probs = _zipf_probs(len(vocab))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "conv_id": [], "turn_idx": [], "role": [], "text": [], "tool": [], "ts": [],
+            }
+            for conv_idx in pdf["id"].to_numpy():
+                rows = _gen_conv(int(conv_idx), seed, vocab, probs)
+                for k in out:
+                    out[k].extend(rows[k])
+            yield pd.DataFrame(out)
+
+    return (
+        spark.range(0, num_convs, numPartitions=num_partitions)
+        .mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
+    )
+
+
+def generate_query_set(num_queries: int = 50, seed: int = 4242) -> list[dict]:
+    """Fixed reference query set (FIXTURES.md §3): texts drawn from the same
+    vocabulary (guaranteed hits for most), plus single-term and no-hit
+    queries.  Driver-side only — a query set is tiny by definition."""
+    vocab = make_vocab()
+    probs = _zipf_probs(len(vocab))
+    rng = np.random.default_rng(seed)
+    queries = []
+    for i in range(num_queries):
+        qid = f"q_{i:03d}"
+        if i % 17 == 5:  # no-hit query: tokens outside the corpus vocabulary
+            text = f"zzqx{i} vvwy{i}"
+        elif i % 7 == 3:  # single-term query
+            text = vocab[int(rng.choice(len(vocab), p=probs))]
+        else:
+            n = int(rng.integers(2, 7))
+            text = " ".join(vocab[j] for j in rng.choice(len(vocab), size=n, p=probs))
+        queries.append({"query_id": qid, "text": text})
+    return queries

@@ -1,0 +1,295 @@
+"""Index build pipeline: transcripts → docs / term_stats / doc_terms /
+packed postings / doc_norms / corpus_stats, committed stage-by-stage through
+the manifest for resumability.
+
+Replaces the reference's per-document serial encode+append write path
+(``src/splade_easy/index.py:133-205``, ``ingest/datasets.py:72-82`` — the
+acknowledged bottleneck) with three bulk Spark jobs:
+
+  stage docs:     tokenize (JVM regexp, map-side) + deterministic doc_int
+                  assignment (one range shuffle) → docs table
+  stage stats:    per-row tf maps (NO token-level shuffle — tf is computed
+                  inside the row with array HOFs) → term DF aggregation
+                  (the single term-keyed shuffle) → term_stats + corpus_stats
+  stage postings: tf rows ⨝ term_stats (broadcast when small) → BM25
+                  weights → salted repartition by term → applyInPandas
+                  block packing → postings + doc_terms + doc_norms
+
+Shuffle budget at scale: one range shuffle (doc order), one term-stats agg,
+one term-keyed exchange for posting grouping (salted for hot terms), one
+doc-keyed agg for norms.  Everything else is map-side.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splade_easy_spark.config import IndexConfig
+from splade_easy_spark.functions.bm25 import bm25_weight_expr, idf_expr
+from splade_easy_spark.functions.text import doc_id_expr, tokenize
+from splade_easy_spark.index.catalog import IndexCatalog, term_bucket_expr
+from splade_easy_spark.index.docids import assign_doc_ints
+from splade_easy_spark.index.postings import pack_postings
+
+POSTINGS_SCHEMA = (
+    "seg LONG, term STRING, block_id INT, n INT, doc_min LONG, "
+    "doc_max LONG, max_weight DOUBLE, docs BINARY, wts BINARY"
+)
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    n_docs: int
+    n_terms: int
+    avgdl: float
+    elapsed_sec: float
+    stages_run: list[str]
+    stages_skipped: list[str]
+
+
+def _term_tf(docs: DataFrame, config: IndexConfig) -> DataFrame:
+    """(doc_int, doc_len, term, tf) — tf computed *inside the row* with
+    array HOFs (array_distinct + filter/size), so no shuffle touches
+    token-level rows; the exploded output is already at (doc, term) grain."""
+    toks = tokenize(F.col("text"), config.analyzer)
+    tf_structs = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(toks, lambda x: x == t)).alias("tf"),
+        ),
+    )
+    return (
+        docs.select("doc_int", "doc_len", F.explode(tf_structs).alias("e"))
+        .select("doc_int", "doc_len", F.col("e.term").alias("term"), F.col("e.tf").alias("tf"))
+    )
+
+
+def _stage_docs(spark: SparkSession, transcripts: DataFrame, cat: IndexCatalog) -> dict:
+    cfg = cat.config
+    base = transcripts.select(
+        doc_id_expr().alias("doc_id"),
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    ).withColumn("doc_len", F.size(tokenize(F.col("text"), cfg.analyzer)))
+    docs = assign_doc_ints(base, "doc_id", cfg.build_partitions)
+    cat.write(docs, "docs")
+    n = spark.read.parquet(cat.table_dir("docs")).count()
+    return {"rows": n}
+
+
+def _stage_stats(spark: SparkSession, cat: IndexCatalog) -> dict:
+    cfg = cat.config
+    docs = cat.read(spark, "docs")
+    term_tf = _term_tf(docs, cfg)
+    # DF per term (term_tf is one row per (doc, term), so count(*) == df)
+    # plus max tf — used later for a per-term score upper bound.
+    tstats = term_tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.max("tf").alias("max_tf")
+    )
+    agg = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("total_tokens"),
+    ).collect()[0]
+    n_docs, avgdl = int(agg["n_docs"]), float(agg["avgdl"] or 0.0)
+    tstats = tstats.withColumn("idf", idf_expr(F.col("df"), n_docs)).withColumn(
+        "tb", term_bucket_expr(F.col("term"), cfg.term_buckets)
+    )
+    cat.write(tstats, "term_stats")
+    n_terms = spark.read.parquet(cat.table_dir("term_stats")).count()
+    stats_df = spark.createDataFrame(
+        [(n_docs, avgdl, int(agg["total_tokens"] or 0), n_terms)],
+        "n_docs LONG, avgdl DOUBLE, total_tokens LONG, n_terms LONG",
+    )
+    cat.write(stats_df, "corpus_stats")
+    return {"n_docs": n_docs, "avgdl": avgdl, "n_terms": n_terms}
+
+
+def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    seg = int(pdf["seg"].iloc[0])
+    term = pdf["term"].iloc[0]
+    bs = int(pdf["block_size"].iloc[0])
+    blocks = pack_postings(pdf["doc_int"].to_numpy(), pdf["weight"].to_numpy(), bs)
+    return pd.DataFrame(
+        {
+            "seg": seg,
+            "term": term,
+            "block_id": [b["block_id"] for b in blocks],
+            "n": [b["n"] for b in blocks],
+            "doc_min": [b["doc_min"] for b in blocks],
+            "doc_max": [b["doc_max"] for b in blocks],
+            "max_weight": [b["max_weight"] for b in blocks],
+            "docs": [b["docs"] for b in blocks],
+            "wts": [b["wts"] for b in blocks],
+        }
+    )
+
+
+def _stage_postings(spark: SparkSession, cat: IndexCatalog) -> dict:
+    """Weighted postings in two layouts.
+
+    1. ``doc_terms`` — exploded (tb, term, doc_int, tf, weight, norm),
+       hive-partitioned by term bucket ``tb`` for query-time partition
+       pruning (a query's handful of terms touches a handful of buckets).
+       The repartition before the write is **salted for hot terms**: a
+       Zipfian head term would otherwise put its whole posting mass in one
+       task; salting by ``pmod(doc_int, hot_term_salt)`` splits it.
+       ``norm`` is denormalized into the row so cosine scoring needs no
+       query-time join against a corpus-sized norms table.
+
+    2. ``postings`` — packed blocks, hive-partitioned by **document
+       segment** ``seg = doc_int // segment_docs`` (doc-sharded, the same
+       topology as the reference's shard fan-out,
+       ``src/splade_easy/retriever.py:105-122``): every segment holds
+       complete posting lists for its doc range, so a per-segment kernel
+       computes *exact* document scores locally and only top-k rows cross
+       the network for the global merge.  Segmenting also structurally
+       bounds every packing group at ``segment_docs`` postings — no hot
+       term can blow up an ``applyInPandas`` group.
+    """
+    cfg = cat.config
+    docs = cat.read(spark, "docs")
+    tstats = cat.read(spark, "term_stats")
+    stats = cat.corpus_stats(spark)
+    avgdl = stats["avgdl"] or 1.0
+
+    term_tf = _term_tf(docs, cfg)
+
+    # Hot-term detection for salting: terms whose df exceeds the configured
+    # quantile (Zipfian head — roles/tool names by construction).
+    df_threshold = tstats.approxQuantile("df", [cfg.hot_term_df_quantile], 0.001)[0]
+    tstats_sel = tstats.select("term", "df", "idf")
+    tstats_b = F.broadcast(tstats_sel) if stats["n_terms"] < 2_000_000 else tstats_sel
+
+    weighted = (
+        term_tf.join(tstats_b, "term")
+        .withColumn(
+            "weight",
+            bm25_weight_expr(F.col("tf"), F.col("doc_len"), float(avgdl), F.col("idf"), cfg.bm25),
+        )
+        .withColumn("tb", term_bucket_expr(F.col("term"), cfg.term_buckets))
+    )
+
+    norms = weighted.groupBy("doc_int").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
+    )
+    cat.write(norms, "doc_norms")
+    norms = cat.read(spark, "doc_norms")
+
+    # hot-term set is tiny by construction (top (1-quantile) of terms by df)
+    hot = F.broadcast(
+        tstats.where(F.col("df") >= F.lit(df_threshold)).select("term", F.lit(1).alias("_hot"))
+    )
+    doc_terms = (
+        weighted.join(norms, "doc_int")
+        .join(hot, "term", "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot") == 1, F.pmod(F.col("doc_int"), F.lit(cfg.hot_term_salt))
+            ).otherwise(F.lit(0)),
+        )
+        .select("tb", "term", "doc_int", "tf", "weight", "norm", "_salt")
+    )
+    cat.write(
+        doc_terms.repartition(cfg.build_partitions, F.col("tb"), F.col("_salt")).drop("_salt"),
+        "doc_terms",
+        partition_by=["tb"],
+    )
+
+    dt = spark.read.parquet(cat.table_dir("doc_terms"))
+
+    packed = (
+        dt.withColumn("seg", (F.col("doc_int") / F.lit(cfg.segment_docs)).cast("long"))
+        .withColumn("block_size", F.lit(cfg.block_size))
+        .groupBy("seg", "term")
+        .applyInPandas(_pack_group, schema=POSTINGS_SCHEMA)
+        .sortWithinPartitions("term", "block_id")
+    )
+    cat.write(packed, "postings", partition_by=["seg"])
+
+    n_postings = dt.count()
+    n_blocks = spark.read.parquet(cat.table_dir("postings")).count()
+    return {
+        "n_postings": n_postings,
+        "n_blocks": n_blocks,
+        "hot_df_threshold": df_threshold,
+        "segment_docs": cfg.segment_docs,
+    }
+
+
+_STAGES = {
+    "docs": _stage_docs,
+    "stats": _stage_stats,
+    "postings": _stage_postings,
+}
+_STAGE_TABLES = {
+    "docs": {"docs": "docs"},
+    "stats": {"term_stats": "term_stats", "corpus_stats": "corpus_stats"},
+    "postings": {"doc_terms": "doc_terms", "postings": "postings", "doc_norms": "doc_norms"},
+}
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    config: IndexConfig | None = None,
+    resume: bool = False,
+) -> BuildResult:
+    """Build (or resume) the full index at ``index_dir``.
+
+    With ``resume=True``, stages already committed in the manifest with
+    intact files are skipped — the restart-from-checkpoint contract (the
+    reference's analog is reopening an append-only index,
+    ``src/splade_easy/ingest/datasets.py:63-68``; ours is stronger: partial
+    work is either committed-and-valid or invisible).
+    """
+    cat = IndexCatalog(index_dir, config or IndexConfig())
+    man = cat.manifest
+    man.set_identity(cat.config.identity())
+    t0 = time.time()
+    run, skipped = [], []
+    for stage, fn in _STAGES.items():
+        if resume and man.stage_complete(stage) and all(
+            man.verify_table(t) for t in _STAGE_TABLES[stage]
+        ):
+            skipped.append(stage)
+            continue
+        s0 = time.time()
+        if stage == "docs":
+            metrics = fn(spark, transcripts, cat)
+        else:
+            metrics = fn(spark, cat)
+        metrics["elapsed_sec"] = round(time.time() - s0, 3)
+        man.record_stage(stage, {t: t for t in _STAGE_TABLES[stage]}, metrics)
+        run.append(stage)
+    man.data["layout"] = {
+        "segment_docs": cat.config.segment_docs,
+        "block_size": cat.config.block_size,
+        "term_buckets": cat.config.term_buckets,
+        "build_partitions": cat.config.build_partitions,
+    }
+    man.save()
+    stats = cat.corpus_stats(spark)
+    return BuildResult(
+        index_dir=str(index_dir),
+        n_docs=int(stats["n_docs"]),
+        n_terms=int(stats["n_terms"]),
+        avgdl=float(stats["avgdl"] or 0.0),
+        elapsed_sec=round(time.time() - t0, 3),
+        stages_run=run,
+        stages_skipped=skipped,
+    )

@@ -1,0 +1,192 @@
+"""Index maintenance: soft delete, compact, reshard, stats.
+
+Semantics mirror the reference (SURVEY.md §2.2), including one subtle
+contract: **delete/compact never change surviving documents' scores.**  The
+reference stores each doc's vector at write time, so removing docs leaves
+other vectors untouched (``src/splade_easy/index.py:221-266`` rewrites live
+docs verbatim).  Our BM25 weights are likewise *frozen at build time*:
+compaction filters and repacks, it does not re-derive df/avgdl (a separate
+full rebuild refreshes statistics).  This is asserted by
+tests/test_maintenance.py (search results identical before/after compact).
+
+Atomic table swap: new data is written to ``<table>__rewrite``, then
+directories are exchanged and the manifest committed — the analog of the
+reference's staged ``_reshard_temp`` + atomic metadata rename + rollback
+(``src/splade_easy/reshard.py:34-124``).  A crash mid-rewrite leaves the
+live table untouched (the ``__rewrite`` dir is garbage-collected on the
+next maintenance run).
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splade_easy_spark.config import IndexConfig
+from splade_easy_spark.index.builder import POSTINGS_SCHEMA, _pack_group
+from splade_easy_spark.index.catalog import IndexCatalog
+
+
+def _swap_in(cat: IndexCatalog, name: str) -> None:
+    """Promote ``<name>__rewrite`` to ``<name>`` (old moved away first so a
+    failure between the two renames cannot leave a half-written live dir)."""
+    live = Path(cat.table_dir(name))
+    new = live.with_name(live.name + "__rewrite")
+    trash = live.with_name(live.name + "__old")
+    if trash.exists():
+        shutil.rmtree(trash)
+    live.rename(trash)
+    new.rename(live)
+    shutil.rmtree(trash)
+
+
+def _gc_rewrite_dirs(cat: IndexCatalog) -> None:
+    for p in cat.index_dir.glob("*__rewrite"):
+        shutil.rmtree(p, ignore_errors=True)
+    for p in cat.index_dir.glob("*__old"):
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def delete(spark: SparkSession, index_dir: str, doc_ids: list[str]) -> int:
+    """Soft delete: tombstone rows (doc_id, doc_int) appended to the
+    ``deleted`` table; read paths anti-join against it.  Returns the number
+    actually deleted (ids must exist and not already be tombstoned —
+    cf. ``src/splade_easy/index.py:207-219``)."""
+    cat = IndexCatalog(index_dir)
+    docs = cat.read(spark, "docs")
+    target = docs.where(F.col("doc_id").isin(doc_ids)).select("doc_id", "doc_int")
+    existing = cat.read_deleted(spark)
+    if existing is not None:
+        target = target.join(existing.select("doc_id"), "doc_id", "left_anti")
+    n = target.count()
+    if n:
+        target.write.mode("append").parquet(cat.table_dir("deleted"))
+    return n
+
+
+def compact(spark: SparkSession, index_dir: str, config: IndexConfig | None = None) -> dict:
+    """Physically drop tombstoned docs from every table, clear tombstones.
+    Weights/statistics frozen (see module docstring)."""
+    cat = IndexCatalog(index_dir, config)
+    cfg = cat.config
+    deleted = cat.read_deleted(spark)
+    t0 = time.time()
+    _gc_rewrite_dirs(cat)
+    if deleted is None:
+        return {"removed": 0, "elapsed_sec": 0.0}
+    dead = deleted.select("doc_int").distinct()
+    n_dead = dead.count()
+
+    docs = cat.read(spark, "docs").join(F.broadcast(dead), "doc_int", "left_anti")
+    docs.write.parquet(cat.table_dir("docs") + "__rewrite")
+
+    dt = cat.read(spark, "doc_terms").join(F.broadcast(dead), "doc_int", "left_anti")
+    dt.repartition(cfg.build_partitions, "tb").write.partitionBy("tb").parquet(
+        cat.table_dir("doc_terms") + "__rewrite"
+    )
+
+    norms = cat.read(spark, "doc_norms").join(F.broadcast(dead), "doc_int", "left_anti")
+    norms.write.parquet(cat.table_dir("doc_norms") + "__rewrite")
+
+    dt_new = spark.read.parquet(cat.table_dir("doc_terms") + "__rewrite")
+    packed = (
+        dt_new.withColumn("seg", (F.col("doc_int") / F.lit(cfg.segment_docs)).cast("long"))
+        .withColumn("block_size", F.lit(cfg.block_size))
+        .groupBy("seg", "term")
+        .applyInPandas(_pack_group, schema=POSTINGS_SCHEMA)
+        .sortWithinPartitions("term", "block_id")
+    )
+    packed.write.partitionBy("seg").parquet(cat.table_dir("postings") + "__rewrite")
+
+    for t in ["docs", "doc_terms", "doc_norms", "postings"]:
+        _swap_in(cat, t)
+    shutil.rmtree(cat.table_dir("deleted"), ignore_errors=True)
+
+    cat.manifest.record_stage(
+        "compact",
+        {t: t for t in ["docs", "doc_terms", "doc_norms", "postings"]},
+        {"removed": n_dead, "elapsed_sec": round(time.time() - t0, 3)},
+    )
+    return {"removed": n_dead, "elapsed_sec": round(time.time() - t0, 3)}
+
+
+def reshard(
+    spark: SparkSession,
+    index_dir: str,
+    config: IndexConfig | None = None,
+    target_partitions: int | None = None,
+    segment_docs: int | None = None,
+    block_size: int | None = None,
+) -> dict:
+    """Rewrite index layout (partition count / segment size / block size)
+    preserving content byte-for-byte at the logical level — the analog of
+    ``IndexResharder.reshard`` (``src/splade_easy/reshard.py:126-195``).
+    Returns before/after layout stats."""
+    cat = IndexCatalog(index_dir, config)
+    cfg = cat.config
+    t0 = time.time()
+    _gc_rewrite_dirs(cat)
+    parts = target_partitions or cfg.build_partitions
+    seg_docs = segment_docs or cfg.segment_docs
+    bs = block_size or cfg.block_size
+
+    before = stats(spark, index_dir)
+
+    dt = cat.read(spark, "doc_terms")
+    dt.repartition(parts, "tb").write.partitionBy("tb").parquet(
+        cat.table_dir("doc_terms") + "__rewrite"
+    )
+    dt_new = spark.read.parquet(cat.table_dir("doc_terms") + "__rewrite")
+    packed = (
+        dt_new.withColumn("seg", (F.col("doc_int") / F.lit(seg_docs)).cast("long"))
+        .withColumn("block_size", F.lit(bs))
+        .groupBy("seg", "term")
+        .applyInPandas(_pack_group, schema=POSTINGS_SCHEMA)
+        .sortWithinPartitions("term", "block_id")
+    )
+    packed.write.partitionBy("seg").parquet(cat.table_dir("postings") + "__rewrite")
+    for t in ["doc_terms", "postings"]:
+        _swap_in(cat, t)
+
+    man = cat.manifest
+    man.data.setdefault("layout", {})
+    man.data["layout"].update(
+        {"segment_docs": seg_docs, "block_size": bs, "build_partitions": parts}
+    )
+    man.record_stage(
+        "reshard",
+        {"doc_terms": "doc_terms", "postings": "postings"},
+        {"elapsed_sec": round(time.time() - t0, 3), "segment_docs": seg_docs, "block_size": bs},
+    )
+    after = stats(spark, index_dir)
+    return {"before": before, "after": after, "elapsed_sec": round(time.time() - t0, 3)}
+
+
+def stats(spark: SparkSession, index_dir: str) -> dict:
+    """Index statistics — the analog of ``SpladeIndex.stats``
+    (``src/splade_easy/index.py:298-306``): live/deleted doc counts, table
+    sizes and file counts."""
+    cat = IndexCatalog(index_dir)
+    corpus = cat.corpus_stats(spark)
+    deleted = cat.read_deleted(spark)
+    n_deleted = deleted.select("doc_id").distinct().count() if deleted is not None else 0
+    tables = {}
+    for t in ["docs", "doc_terms", "postings", "doc_norms", "term_stats"]:
+        p = Path(cat.table_dir(t))
+        files = list(p.rglob("*.parquet")) if p.exists() else []
+        tables[t] = {
+            "files": len(files),
+            "mb": round(sum(f.stat().st_size for f in files) / 1e6, 3),
+        }
+    return {
+        "num_docs": int(corpus["n_docs"]) - n_deleted,
+        "num_docs_built": int(corpus["n_docs"]),
+        "num_deleted": n_deleted,
+        "num_terms": int(corpus["n_terms"]),
+        "avgdl": float(corpus["avgdl"] or 0.0),
+        "tables": tables,
+    }

@@ -1,0 +1,128 @@
+"""Index manifest: the Parquet-fallback analog of an Iceberg snapshot log.
+
+Mirrors the reference's durability contract (SURVEY.md §1.4): the reference
+finalizes a shard by flush → SHA-256 → atomic ``os.replace`` → append hash to
+``metadata.json`` (``src/splade_easy/index.py:103-122``), so readers only ever
+see fully-committed shards.  Here the unit of commit is a build *stage*
+(docs / stats / postings): each stage's output files are content-hashed and
+recorded with per-file lineage (rows, bytes, sha256) plus stage metrics
+(elapsed seconds, input rows), and the manifest itself is swapped atomically
+via temp-file + ``os.replace``.  A crashed build leaves at most Spark
+``_temporary`` dirs (cleaned by the output committer) and a manifest that
+still describes only complete stages — which is exactly what makes the build
+**resumable**: re-running skips stages already present and valid.
+
+On a real cluster with Iceberg jars this module is replaced by snapshot
+commits; the seam is ``IndexCatalog`` in ``catalog.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from pathlib import Path
+from typing import Any
+
+import pyarrow.parquet as pq
+
+MANIFEST_NAME = "_manifest.json"
+FORMAT_VERSION = 1
+
+
+def _hash_file(path: Path, chunk: int = 1 << 20) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+def file_lineage(table_dir: Path) -> list[dict]:
+    """Per-file lineage for every parquet data file under ``table_dir``
+    (recursive — hive-partitioned tables have ``tb=.../part-*.parquet``)."""
+    entries = []
+    for p in sorted(table_dir.rglob("*.parquet")):
+        meta = pq.read_metadata(p)
+        entries.append(
+            {
+                "file": str(p.relative_to(table_dir)),
+                "bytes": p.stat().st_size,
+                "rows": meta.num_rows,
+                "sha256": _hash_file(p),
+            }
+        )
+    return entries
+
+
+class Manifest:
+    """Load/commit cycle for ``<index_dir>/_manifest.json``."""
+
+    def __init__(self, index_dir: str | Path):
+        self.index_dir = Path(index_dir)
+        self.path = self.index_dir / MANIFEST_NAME
+        self.data: dict[str, Any] = {
+            "format_version": FORMAT_VERSION,
+            "identity": {},
+            "stages": {},
+            "tables": {},
+        }
+        if self.path.exists():
+            self.data = json.loads(self.path.read_text())
+
+    # -- queries ---------------------------------------------------------
+    def stage_complete(self, stage: str) -> bool:
+        return stage in self.data["stages"]
+
+    def table_path(self, name: str) -> Path:
+        return self.index_dir / self.data["tables"][name]["dir"]
+
+    def verify_table(self, name: str) -> bool:
+        """Check every recorded file still exists with the recorded size
+        (cheap validation, like ``get_shard_paths`` strict mode,
+        ``src/splade_easy/utils.py:12-31``; full sha check is opt-in)."""
+        info = self.data["tables"].get(name)
+        if not info:
+            return False
+        root = self.index_dir / info["dir"]
+        for f in info["files"]:
+            p = root / f["file"]
+            if not p.exists() or p.stat().st_size != f["bytes"]:
+                return False
+        return True
+
+    # -- commits ---------------------------------------------------------
+    def set_identity(self, identity: dict) -> None:
+        self.data["identity"] = identity
+
+    def record_stage(
+        self,
+        stage: str,
+        tables: dict[str, str],
+        metrics: dict | None = None,
+    ) -> None:
+        """Commit a completed stage: hash all its table files, record
+        lineage + metrics, atomically swap the manifest."""
+        for name, rel in tables.items():
+            tdir = self.index_dir / rel
+            self.data["tables"][name] = {"dir": rel, "files": file_lineage(tdir)}
+        self.data["stages"][stage] = {
+            "tables": list(tables),
+            "committed_at": time.time(),
+            "metrics": metrics or {},
+        }
+        self.save()
+
+    def drop_stage(self, stage: str) -> None:
+        self.data["stages"].pop(stage, None)
+        self.save()
+
+    def save(self) -> None:
+        self.index_dir.mkdir(parents=True, exist_ok=True)
+        tmp = self.path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(self.data, indent=1, sort_keys=True))
+        os.replace(tmp, self.path)  # atomic commit, cf. index.py:110-117

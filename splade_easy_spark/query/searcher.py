@@ -1,0 +1,314 @@
+"""Read path: BM25 top-k search over the inverted index.
+
+Restates the reference's query lifecycle (SURVEY.md §3.1) Spark-first:
+
+  reference                                  this engine
+  ---------                                  -----------
+  encode + sparsify query                    analyze_query: tokenize + qweights
+  normalize (dedup max, sort)                dedup keeping max qweight
+  shard list as physical plan                term-bucket partition pruning
+  per-shard scan-score-heap (ALL docs)       postings ⨝ broadcast(query terms)
+                                             → groupBy(doc).sum  (only docs
+                                             sharing ≥1 term are ever touched)
+  heapq.nlargest merge                       orderBy(desc score).limit(k)
+                                             = TakeOrderedAndProject (partial
+                                             per-partition top-k + driver merge
+                                             — the same topology, built in)
+
+Scale notes: the query side is always broadcast (a query has dozens of
+terms); tombstones are a broadcast anti-join *before* the limit; the docs
+table join for metadata/text happens *after* the limit, on k rows only.
+Tie-break is pinned to (score DESC, doc_id ASC) — the reference leaves tie
+order arbitrary (``src/splade_easy/retriever.py:122,202``), so the parity
+harness compares tie groups as sets (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splade_easy_spark.config import IndexConfig
+from splade_easy_spark.index.catalog import IndexCatalog, term_bucket_expr
+
+
+def analyze_query(
+    text: str, config: IndexConfig | None = None, weights: dict[str, float] | None = None
+) -> list[tuple[str, float]]:
+    """Driver-side query analysis with the *same* analyzer rules as the
+    build (the model-identity seam; mismatch is what the reference warns
+    about at ``src/splade_easy/retriever.py:137-145``).
+
+    Duplicate terms keep the **max** weight, mirroring the reference's
+    vector normalization (``src/splade_easy/scoring.py:102-114``).
+    """
+    cfg = config or IndexConfig()
+    a = cfg.analyzer
+    s = text.lower() if a.lowercase else text
+    toks = [
+        t
+        for t in re.findall(a.token_pattern, s)
+        if a.min_token_len <= len(t) <= a.max_token_len
+    ]
+    out: dict[str, float] = {}
+    for t in toks:
+        w = (weights or {}).get(t, 1.0)
+        out[t] = max(out.get(t, w), w)
+    return sorted(out.items())
+
+
+@dataclass
+class SearchResultSchema:
+    """Column contract of search results — the reference's SearchResult
+    (``src/splade_easy/retriever.py:20-25``) plus transcript metadata."""
+
+    columns = ["doc_id", "score", "conv_id", "turn_idx", "role", "tool", "ts"]
+
+
+class Searcher:
+    """Read-only view over an index directory.
+
+    ``mode='disk'`` streams parquet per query; ``mode='memory'`` persists
+    the postings + docs tables (the reference's two retriever modes,
+    ``src/splade_easy/retriever.py:31-67``).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        config: IndexConfig | None = None,
+        mode: str = "disk",
+    ):
+        self.spark = spark
+        self.cat = IndexCatalog(index_dir, config)
+        self.config = self.cat.config
+        man_identity = self.cat.manifest.data.get("identity", {})
+        ours = self.cat.config.identity()
+        if man_identity and man_identity.get("analyzer_hash") != ours["analyzer_hash"]:
+            raise ValueError(
+                f"analyzer mismatch: index built with {man_identity.get('analyzer_hash')}, "
+                f"query configured {ours['analyzer_hash']}"
+            )
+        self.stats = self.cat.corpus_stats(spark)
+        self.doc_terms = self.cat.read(spark, "doc_terms")
+        self.docs = self.cat.read(spark, "docs")
+        self.mode = mode
+        if mode == "memory":
+            self.doc_terms = self.doc_terms.persist()
+            self.docs = self.docs.persist()
+            self.doc_terms.count()
+            self.docs.count()
+
+    # ------------------------------------------------------------------
+    def _query_df(self, terms: list[tuple[str, float]]) -> DataFrame:
+        return self.spark.createDataFrame(terms, "term STRING, qweight DOUBLE")
+
+    def _deleted(self) -> DataFrame | None:
+        return self.cat.read_deleted(self.spark)
+
+    def _scores(self, qdf: DataFrame, use_cosine: bool) -> DataFrame:
+        """(doc_int, score) for all docs sharing ≥1 query term."""
+        buckets = [
+            r["tb"]
+            for r in qdf.select(
+                term_bucket_expr(F.col("term"), self.config.term_buckets).alias("tb")
+            )
+            .distinct()
+            .collect()
+        ]
+        dt = self.doc_terms.where(F.col("tb").isin(buckets))  # partition pruning
+        joined = dt.join(F.broadcast(qdf), "term")
+        if use_cosine:
+            qnorm_row = qdf.agg(F.sqrt(F.sum(F.col("qweight") ** 2)).alias("n")).collect()[0]
+            qnorm = float(qnorm_row["n"] or 0.0)
+            scores = joined.groupBy("doc_int").agg(
+                (F.sum(F.col("weight") * F.col("qweight"))).alias("dot"),
+                F.first("norm").alias("norm"),
+            )
+            if qnorm == 0.0:
+                return scores.select("doc_int", F.lit(0.0).alias("score")).where(F.lit(False))
+            scores = scores.select(
+                "doc_int",
+                F.when(F.col("norm") == 0.0, F.lit(0.0))
+                .otherwise(F.col("dot") / (F.col("norm") * F.lit(qnorm)))
+                .alias("score"),
+            )
+        else:
+            scores = joined.groupBy("doc_int").agg(
+                F.sum(F.col("weight") * F.col("qweight")).alias("score")
+            )
+        return scores.where(F.col("score") > 0)  # cf. retriever.py:186
+
+    def _attach_docs(self, topk: DataFrame, return_text: bool) -> DataFrame:
+        cols = ["doc_id", "score", "conv_id", "turn_idx", "role", "tool", "ts"]
+        if return_text:
+            cols.append("text")
+        return (
+            topk.join(self.docs, "doc_int")
+            .select(*cols)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    # ------------------------------------------------------------------
+    def search(
+        self,
+        query: str | list[tuple[str, float]],
+        top_k: int = 10,
+        use_cosine: bool = False,
+        return_text: bool = False,
+        method: str = "sql",
+    ) -> DataFrame:
+        """Top-k search.  ``use_cosine=False`` is BM25 (dot) — the parity
+        mode vs the reference's ``compute_splade_score(use_cosine=False)``.
+
+        ``method='sql'``: postings join + hash agg (Catalyst end to end).
+        ``method='wand'``: packed-postings block-max kernel (dot mode only)
+        — identical results, pruned physical work (see query/wand.py).
+        """
+        terms = analyze_query(query, self.config) if isinstance(query, str) else query
+        if not terms:
+            return self._attach_docs(
+                self.spark.createDataFrame([], "doc_int LONG, score DOUBLE"), return_text
+            )
+        deleted = self._deleted()
+        if method == "wand":
+            if use_cosine:
+                raise ValueError("wand method supports dot (BM25) mode only")
+            from splade_easy_spark.query.wand import wand_search_scores
+
+            postings = self.cat.read(self.spark, "postings")
+            del_ints = (
+                [r["doc_int"] for r in deleted.select("doc_int").collect()]
+                if deleted is not None
+                else None
+            )
+            seg_docs = int(
+                self.cat.manifest.data.get("layout", {}).get(
+                    "segment_docs", self.config.segment_docs
+                )
+            )
+            scores = wand_search_scores(
+                self.spark, postings, terms, seg_docs, top_k, del_ints
+            )
+        else:
+            scores = self._scores(self._query_df(terms), use_cosine)
+            if deleted is not None:
+                scores = scores.join(
+                    F.broadcast(deleted.select("doc_int")), "doc_int", "left_anti"
+                )
+        topk = scores.orderBy(F.desc("score"), F.asc("doc_int")).limit(top_k)
+        return self._attach_docs(topk, return_text)
+
+    def search_many(
+        self,
+        queries: list[dict],
+        top_k: int = 10,
+        use_cosine: bool = False,
+    ) -> DataFrame:
+        """Batch evaluation of many queries in ONE Spark job (the bulk
+        path the reference lacks entirely): explode all query terms, join
+        postings once, window top-k per query_id.
+
+        ``queries``: [{"query_id": ..., "text": ...}, ...]
+        Returns (query_id, rank, doc_id, score, conv_id, turn_idx).
+        """
+        rows = []
+        for q in queries:
+            for term, qw in analyze_query(q["text"], self.config):
+                rows.append((q["query_id"], term, qw))
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "query_id STRING, rank INT, doc_id STRING, score DOUBLE, conv_id STRING, turn_idx INT"
+            )
+        qdf = self.spark.createDataFrame(rows, "query_id STRING, term STRING, qweight DOUBLE")
+        buckets = [
+            r["tb"]
+            for r in qdf.select(
+                term_bucket_expr(F.col("term"), self.config.term_buckets).alias("tb")
+            )
+            .distinct()
+            .collect()
+        ]
+        dt = self.doc_terms.where(F.col("tb").isin(buckets))
+        joined = dt.join(F.broadcast(qdf), "term")
+        if use_cosine:
+            qnorms = qdf.groupBy("query_id").agg(
+                F.sqrt(F.sum(F.col("qweight") ** 2)).alias("qnorm")
+            )
+            scores = (
+                joined.groupBy("query_id", "doc_int")
+                .agg(
+                    F.sum(F.col("weight") * F.col("qweight")).alias("dot"),
+                    F.first("norm").alias("norm"),
+                )
+                .join(F.broadcast(qnorms), "query_id")
+                .select(
+                    "query_id",
+                    "doc_int",
+                    F.when((F.col("norm") == 0.0) | (F.col("qnorm") == 0.0), F.lit(0.0))
+                    .otherwise(F.col("dot") / (F.col("norm") * F.col("qnorm")))
+                    .alias("score"),
+                )
+            )
+        else:
+            scores = joined.groupBy("query_id", "doc_int").agg(
+                F.sum(F.col("weight") * F.col("qweight")).alias("score")
+            )
+        scores = scores.where(F.col("score") > 0)
+        deleted = self._deleted()
+        if deleted is not None:
+            scores = scores.join(
+                F.broadcast(deleted.select("doc_int")), "doc_int", "left_anti"
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_int"))
+        topk = scores.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= top_k)
+        return (
+            topk.join(self.docs.select("doc_int", "doc_id", "conv_id", "turn_idx"), "doc_int")
+            .select("query_id", "rank", "doc_id", "score", "conv_id", "turn_idx")
+            .orderBy("query_id", "rank")
+        )
+
+    # ------------------------------------------------------------------
+    def get(self, doc_id: str, load_text: bool = True) -> dict | None:
+        """Point lookup.  The reference scans every shard until hit
+        (``src/splade_easy/retriever.py:204-213``); here the doc_id
+        predicate pushes down to the parquet scan.
+        """
+        deleted = self._deleted()
+        if deleted is not None and deleted.where(F.col("doc_id") == doc_id).limit(1).count() > 0:
+            return None
+        cols = ["doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "doc_len", "doc_int"]
+        if load_text:
+            cols.append("text")
+        rows = self.docs.where(F.col("doc_id") == doc_id).select(*cols).limit(1).collect()
+        return rows[0].asDict() if rows else None
+
+    def get_batch(self, doc_ids: list[str], load_text: bool = True) -> DataFrame:
+        cols = ["doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "doc_len"]
+        if load_text:
+            cols.append("text")
+        out = self.docs.where(F.col("doc_id").isin(doc_ids)).select(*cols)
+        deleted = self._deleted()
+        if deleted is not None:
+            out = out.join(F.broadcast(deleted.select("doc_id")), "doc_id", "left_anti")
+        return out
+
+    def doc_vector(self, doc_id: str) -> list[tuple[str, float]]:
+        """A document's BM25 sparse vector (term, weight), sorted by term —
+        the analog of the reference returning token_ids/weights from
+        ``get`` (``src/splade_easy/retriever.py:204-219``)."""
+        rows = (
+            self.doc_terms.join(
+                F.broadcast(self.docs.where(F.col("doc_id") == doc_id).select("doc_int")),
+                "doc_int",
+            )
+            .select("term", "weight")
+            .collect()
+        )
+        return sorted((r["term"], r["weight"]) for r in rows)

@@ -1,0 +1,169 @@
+"""End-to-end differential test: build index from synthetic transcripts,
+search, compare against the NumPy oracle (reference-semantics restatement,
+see tests/oracle.py) — the engine's rank-identity gate.
+
+Mirrors the reference's own retriever test strategy
+(``tests/test_retriever.py:50-127``: disk/memory parity, no-match empty,
+top-k limit, return_text, score ordering) plus the differential oracle the
+reference lacks (SURVEY.md §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from splade_easy_spark.config import AnalyzerConfig, BM25Params, IndexConfig
+from splade_easy_spark.data import generate_transcripts, generate_query_set
+from splade_easy_spark.index import build_index
+from splade_easy_spark.query import Searcher, analyze_query
+
+from tests.oracle import BM25Oracle, assert_topk_matches
+
+CFG = IndexConfig(build_partitions=8, term_buckets=16, segment_docs=256, block_size=64)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    """Small corpus: ~30 convs ≈ 1k turns, built once per module."""
+    idx_dir = str(tmp_path_factory.mktemp("e2e") / "index")
+    tx = generate_transcripts(spark, num_convs=30, seed=42)
+    result = build_index(spark, tx, idx_dir, CFG)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in tx.select(
+            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+            "text",
+        ).collect()
+    }
+    oracle = BM25Oracle(docs)
+    return idx_dir, oracle, result
+
+
+def _engine_topk(searcher, qtext, k, use_cosine=False):
+    rows = searcher.search(qtext, top_k=k, use_cosine=use_cosine).collect()
+    return [(r["doc_id"], r["score"]) for r in rows]
+
+
+def test_build_stats(corpus, spark):
+    idx_dir, oracle, result = corpus
+    assert result.n_docs == oracle.n_docs
+    assert abs(result.avgdl - oracle.avgdl) < 1e-6
+    assert result.n_terms == len(oracle.df)
+
+
+def test_search_matches_oracle_dot(corpus, spark):
+    idx_dir, oracle, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    for q in generate_query_set()[:25]:
+        engine = _engine_topk(s, q["text"], 10)
+        expected = oracle.search(q["text"], top_k=10, use_cosine=False)
+        assert_topk_matches(engine, expected, 10)
+
+
+def test_search_matches_oracle_cosine(corpus, spark):
+    idx_dir, oracle, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    for q in generate_query_set()[25:40]:
+        engine = _engine_topk(s, q["text"], 10, use_cosine=True)
+        expected = oracle.search(q["text"], top_k=10, use_cosine=True)
+        assert_topk_matches(engine, expected, 10)
+
+
+def test_no_match_returns_empty(corpus, spark):
+    idx_dir, _, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    assert s.search("zzzzneverseen qqqxw", top_k=5).count() == 0
+    assert s.search("", top_k=5).count() == 0  # cf. test_retriever.py:76-86
+
+
+def test_top_k_limit(corpus, spark):
+    idx_dir, _, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    assert s.search("baba0", top_k=3).count() <= 3  # cf. test_retriever.py:88-98
+
+
+def test_return_text(corpus, spark):
+    idx_dir, oracle, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    rows = s.search("baba0 ceba1", top_k=5, return_text=True).collect()
+    assert rows, "expected hits"
+    assert all("text" in r.asDict() and r["text"] is not None for r in rows)
+
+
+def test_scores_descending_and_tiebreak(corpus, spark):
+    idx_dir, _, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    rows = s.search("baba0 ceba1", top_k=20).collect()
+    for a, b in zip(rows, rows[1:]):
+        assert a["score"] > b["score"] or (
+            a["score"] == b["score"] and a["doc_id"] < b["doc_id"]
+        )
+
+
+def test_memory_mode_parity(corpus, spark):
+    idx_dir, _, _ = corpus
+    d = Searcher(spark, idx_dir, CFG, mode="disk")
+    m = Searcher(spark, idx_dir, CFG, mode="memory")
+    q = "baba0 ceba1 diba2"
+    assert _engine_topk(d, q, 10) == _engine_topk(m, q, 10)  # cf. test_retriever.py:50-74
+
+
+def test_duplicate_and_case_query_robustness(corpus, spark):
+    """cf. test_retriever.py:210-230 — duplicated/unsorted query tokens."""
+    idx_dir, _, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    a = _engine_topk(s, "baba0 ceba1", 10)
+    b = _engine_topk(s, "ceba1 baba0 CEBA1 baba0", 10)
+    assert a == b
+
+
+def test_search_many_consistent_with_single(corpus, spark):
+    idx_dir, _, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    queries = [{"query_id": f"q{i}", "text": t} for i, t in enumerate(["baba0", "ceba1 diba2", "zzznope"])]
+    batch = s.search_many(queries, top_k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for q in queries:
+        single = _engine_topk(s, q["text"], 5)
+        assert got.get(q["query_id"], []) == single
+
+
+def test_point_get(corpus, spark):
+    idx_dir, oracle, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    some_doc = next(iter(oracle.tf))
+    row = s.get(some_doc)
+    assert row is not None and row["doc_id"] == some_doc
+    assert s.get("conv_99999999#0") is None
+    batch = s.get_batch([some_doc, "conv_99999999#0"])
+    assert batch.count() == 1
+
+
+def test_doc_vector_matches_oracle(corpus, spark):
+    idx_dir, oracle, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    doc = next(d for d in oracle.tf if oracle.dl[d] > 0)
+    vec = dict(s.doc_vector(doc))
+    expected = oracle.doc_vector(doc)
+    assert set(vec) == set(expected)
+    for t, w in expected.items():
+        assert abs(vec[t] - w) < 1e-9 * max(1.0, abs(w))
+
+
+def test_per_turn_text_equality(corpus, spark):
+    """Driver invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering between input and the docs table."""
+    idx_dir, _, _ = corpus
+    tx = generate_transcripts(spark, num_convs=30, seed=42)
+    docs = spark.read.parquet(f"{idx_dir}/docs")
+    joined = tx.join(docs, ["conv_id", "turn_idx"], "full_outer").where(
+        (tx["text"] != docs["text"]) | tx["text"].isNull() | docs["text"].isNull()
+    )
+    assert joined.count() == 0
+
+
+def test_analyzer_mismatch_rejected(corpus, spark):
+    idx_dir, _, _ = corpus
+    bad = IndexConfig(analyzer=AnalyzerConfig(token_pattern="[a-z]+"))
+    with pytest.raises(ValueError, match="analyzer mismatch"):
+        Searcher(spark, idx_dir, bad)

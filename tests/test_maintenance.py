@@ -1,0 +1,87 @@
+"""Maintenance parity tests — mirror the reference's lifecycle suite
+(``tests/test_index.py:99-191,203-231``, ``tests/test_reshard.py``):
+soft delete respected by search/get, compact removes tombstones without
+changing surviving scores, reshard preserves content, stats counts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from splade_easy_spark.config import IndexConfig
+from splade_easy_spark.data import generate_transcripts
+from splade_easy_spark.index import build_index
+from splade_easy_spark.index.maintenance import compact, delete, reshard, stats
+from splade_easy_spark.query import Searcher
+
+CFG = IndexConfig(build_partitions=4, term_buckets=8, segment_docs=128, block_size=32)
+
+
+@pytest.fixture()
+def small_index(spark, tmp_path):
+    idx_dir = str(tmp_path / "index")
+    tx = generate_transcripts(spark, num_convs=8, seed=3)
+    res = build_index(spark, tx, idx_dir, CFG)
+    return idx_dir, res
+
+
+def test_delete_respected_by_search_and_get(spark, small_index):
+    idx_dir, _ = small_index
+    s = Searcher(spark, idx_dir, CFG)
+    hit = s.search("baba0", top_k=1).collect()
+    assert hit
+    victim = hit[0]["doc_id"]
+    assert delete(spark, idx_dir, [victim]) == 1
+    assert delete(spark, idx_dir, [victim]) == 0  # idempotent
+    assert delete(spark, idx_dir, ["conv_99999999#0"]) == 0  # nonexistent
+    s2 = Searcher(spark, idx_dir, CFG)
+    assert victim not in [r["doc_id"] for r in s2.search("baba0", top_k=50).collect()]
+    assert s2.get(victim) is None  # cf. test_index.py:99-123
+
+
+def test_compact_preserves_surviving_scores(spark, small_index):
+    idx_dir, res = small_index
+    s = Searcher(spark, idx_dir, CFG)
+    all_hits = s.search("baba0", top_k=100).collect()
+    assert len(all_hits) >= 3
+    victims = [all_hits[0]["doc_id"], all_hits[2]["doc_id"]]
+    delete(spark, idx_dir, victims)
+    before = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in Searcher(spark, idx_dir, CFG).search("baba0", top_k=50).collect()
+    ]
+    out = compact(spark, idx_dir, CFG)
+    assert out["removed"] == 2
+    st = stats(spark, idx_dir)
+    assert st["num_deleted"] == 0  # tombstones cleared, cf. test_index.py:125-162
+    after = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in Searcher(spark, idx_dir, CFG).search("baba0", top_k=50).collect()
+    ]
+    assert before == after  # frozen-weight contract
+    # physically gone
+    docs = spark.read.parquet(f"{idx_dir}/docs")
+    assert docs.where(F.col("doc_id").isin(victims)).count() == 0
+
+
+def test_reshard_preserves_results(spark, small_index):
+    idx_dir, _ = small_index
+    s = Searcher(spark, idx_dir, CFG)
+    before_sql = [(r["doc_id"], round(r["score"], 9)) for r in s.search("baba0 ceba1", 20).collect()]
+    out = reshard(spark, idx_dir, CFG, target_partitions=2, segment_docs=64, block_size=16)
+    assert out["after"]["tables"]["postings"]["files"] > 0
+    s2 = Searcher(spark, idx_dir, CFG)
+    after_sql = [(r["doc_id"], round(r["score"], 9)) for r in s2.search("baba0 ceba1", 20).collect()]
+    after_wand = [(r["doc_id"], round(r["score"], 9)) for r in s2.search("baba0 ceba1", 20, method="wand").collect()]
+    assert before_sql == after_sql  # cf. test_reshard.py:74-100
+    assert before_sql == after_wand  # new segment/block sizes, same results
+
+
+def test_stats_counts(spark, small_index):
+    idx_dir, res = small_index
+    st = stats(spark, idx_dir)
+    assert st["num_docs"] == res.n_docs
+    assert st["num_terms"] == res.n_terms
+    assert st["tables"]["postings"]["mb"] > 0
+    delete(spark, idx_dir, [Searcher(spark, idx_dir, CFG).search("baba0", 1).collect()[0]["doc_id"]])
+    st2 = stats(spark, idx_dir)
+    assert st2["num_docs"] == res.n_docs - 1
+    assert st2["num_deleted"] == 1

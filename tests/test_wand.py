@@ -1,0 +1,95 @@
+"""WAND-path equivalence: the block-max pruned kernel must be rank- and
+score-identical to the SQL path and the oracle on every fixture
+(SURVEY.md §7 step 5)."""
+
+import numpy as np
+import pytest
+
+from splade_easy_spark.config import IndexConfig
+from splade_easy_spark.data import generate_transcripts, generate_query_set
+from splade_easy_spark.index import build_index
+from splade_easy_spark.query import Searcher
+from splade_easy_spark.query.wand import _score_segment
+import pandas as pd
+
+from tests.oracle import BM25Oracle, assert_topk_matches
+
+CFG = IndexConfig(build_partitions=8, term_buckets=16, segment_docs=128, block_size=32)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("wand") / "index")
+    tx = generate_transcripts(spark, num_convs=25, seed=7)
+    build_index(spark, tx, idx_dir, CFG)
+    from pyspark.sql import functions as F
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in tx.select(
+            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"), "text"
+        ).collect()
+    }
+    return idx_dir, BM25Oracle(docs)
+
+
+def test_wand_equals_sql_and_oracle(corpus, spark):
+    idx_dir, oracle = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    for q in generate_query_set(20, seed=99):
+        sql_rows = [(r["doc_id"], r["score"]) for r in s.search(q["text"], top_k=10).collect()]
+        wand_rows = [
+            (r["doc_id"], r["score"])
+            for r in s.search(q["text"], top_k=10, method="wand").collect()
+        ]
+        expected = oracle.search(q["text"], top_k=10)
+        assert_topk_matches(wand_rows, expected, 10)
+        # wand vs sql: identical modulo tie order → compare (rounded score) lists
+        assert [round(x[1], 9) for x in wand_rows] == [round(x[1], 9) for x in sql_rows]
+
+
+def test_wand_respects_tombstones(corpus, spark):
+    idx_dir, oracle = corpus
+    from splade_easy_spark.index.maintenance import delete
+
+    s = Searcher(spark, idx_dir, CFG)
+    q = "baba0 ceba1"
+    before = s.search(q, top_k=3, method="wand").collect()
+    assert before
+    victim = before[0]["doc_id"]
+    delete(spark, idx_dir, [victim])
+    after = [r["doc_id"] for r in s.search(q, top_k=3, method="wand").collect()]
+    assert victim not in after
+    expected = oracle.search(q, top_k=3, deleted={victim})
+    assert_topk_matches([(r["doc_id"], r["score"]) for r in s.search(q, 3, method="wand").collect()], expected, 3)
+
+
+def test_segment_kernel_pruning_exactness():
+    """Unit-level: randomized segment, kernel top-k == brute force."""
+    rng = np.random.default_rng(0)
+    seg_docs, n_terms = 512, 12
+    rows = []
+    truth = np.zeros(seg_docs)
+    qw_map = {}
+    from splade_easy_spark.index.postings import pack_postings
+
+    for t in range(n_terms):
+        term = f"t{t}"
+        qw_map[term] = float(rng.uniform(0.5, 2.0))
+        n_post = int(rng.integers(5, seg_docs))
+        docs = np.sort(rng.choice(seg_docs, size=n_post, replace=False)).astype(np.int64)
+        wts = rng.uniform(0.01, 3.0, size=n_post)
+        truth[docs] += qw_map[term] * wts.astype(np.float32).astype(np.float64)
+        for b in pack_postings(docs, wts, 32):
+            rows.append(
+                {
+                    "seg": 0, "term": term, "block_id": b["block_id"], "n": b["n"],
+                    "doc_min": b["doc_min"], "doc_max": b["doc_max"],
+                    "max_weight": b["max_weight"], "docs": b["docs"], "wts": b["wts"],
+                }
+            )
+    g = pd.DataFrame(rows)
+    d, s = _score_segment(g, qw_map, 0, seg_docs, 10, None)
+    order = np.lexsort((np.arange(seg_docs), -truth))[:10]
+    assert list(d) == [int(i) for i in order]
+    assert np.allclose(s, truth[order], rtol=1e-7)
