@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship BM25 top-k over the sf0.001 documents corpus.
+`queries()` — one entry per implemented operator family (SURVEY.md §2 plus
+the training-data ops); each callable (spark, sf_dir) -> DataFrame.
+`oracle_sql()` — exact DuckDB SQL mirror for every query (shared
+deterministic hashing: first-8-hex-of-md5 → BIGINT; identical BM25/quality/
+LSH formulas; floats rounded identically on both sides).
+
+Only `ann_lsh_topk` (approximate path, exercised against the exact oracle in
+pytest instead) omits an oracle on purpose; everything else is gated.
 """
 
 from __future__ import annotations
@@ -12,27 +16,607 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from splade_easy_spark.adhoc import bm25_topk, bm25_topk_multi, bm25_weights, doc_term_tf
+from splade_easy_spark.functions.text import tokenize
+from splade_easy_spark.ops import dedup, similarity, textstats
+
+# ---------------------------------------------------------------------------
+# shared constants — referenced by BOTH the Spark plans and the SQL oracles
+# ---------------------------------------------------------------------------
+PAT = "[a-z0-9]+"
+K1, B = 1.2, 0.75
+FLAGSHIP_QUERY = "spark hash join fast table scan"
+MULTI_QUERIES = [
+    {"query_id": "q1", "text": "spark hash join fast table scan"},
+    {"query_id": "q2", "text": "slow query order column"},
+    {"query_id": "q3", "text": "customer value batch window"},
+]
+SHINGLE_K = 3
+NUM_HASHES, BANDS, ROWS_PER_BAND = 16, 4, 4
+JACCARD_THRESHOLD = 0.2
+NEAR_DUP_COS = 0.80
+ANN_PROBES = [0, 1, 2]
+ANN_K = 10
+EMB_DIM, LSH_PLANES = 64, 8
+POINT_GET_ID = 42
+DOC_VECTOR_ID = 7
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+_TOK_CTE = f"""
+tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{PAT}') AS toks FROM documents
+)"""
+
+_BM25_CTES = f"""
+WITH {_TOK_CTE},
+tt AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, len(toks)::INT AS doc_len FROM tok),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tt GROUP BY term),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(toks))::DOUBLE AS avgdl FROM tok),
+w AS (
+  SELECT tt.doc_id, tt.term,
+         ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tt.tf * ({K1} + 1.0))
+         / (tt.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl)) AS weight
+  FROM tt JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+)"""
+
+
+def _sql_query_terms(text: str) -> str:
+    """Distinct analyzer terms of a query as a VALUES list (dedup keeping
+    max weight = all 1.0, mirroring analyze_query)."""
+    import re
+
+    terms = sorted(set(re.findall(PAT, text.lower())))
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"(VALUES {vals}) AS q(term)"
+
+
+def _sql_bm25_topk(text: str, k: int = 10) -> str:
+    return f"""{_BM25_CTES}
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT w.doc_id, sum(w.weight) AS score
+  FROM w JOIN {_sql_query_terms(text)} USING (term)
+  GROUP BY w.doc_id
+) WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+_SHINGLE_CTE = f"""
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {SHINGLE_K}
+              THEN list_distinct(list_transform(range(len(toks) - {SHINGLE_K} + 1),
+                                 i -> array_to_string(list_slice(toks, i + 1, i + {SHINGLE_K}), ' ')))
+              WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+              ELSE [] END AS shingles
+  FROM tok
+)"""
+
+
+def _sql_h64(expr: str, seed: str) -> str:
+    return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 8))::BIGINT"
+
+
+def _sql_minhash_sig() -> str:
+    mins = ", ".join(
+        f"min({_sql_h64('s', str(j))}) AS h{j:02d}" for j in range(NUM_HASHES)
+    )
+    return f"""WITH {_TOK_CTE},{_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0)
+SELECT doc_id, {mins} FROM ex GROUP BY doc_id"""
+
+
+def _sql_lsh_pairs() -> str:
+    bands_sql = []
+    for b in range(BANDS):
+        cols = " || ',' || ".join(
+            f"h{b * ROWS_PER_BAND + r:02d}::VARCHAR" for r in range(ROWS_PER_BAND)
+        )
+        bands_sql.append(
+            f"SELECT doc_id, {b} AS band, md5({b}::VARCHAR || ',' || {cols}) AS bucket FROM sig"
+        )
+    banded = " UNION ALL ".join(bands_sql)
+    return f"""WITH {_TOK_CTE},{_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+sig AS (SELECT doc_id, {', '.join(f"min({_sql_h64('s', str(j))}) AS h{j:02d}" for j in range(NUM_HASHES))}
+        FROM ex GROUP BY doc_id),
+banded AS ({banded})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+
+
+def _sql_simhash(bits: int = 32) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN h IS NULL THEN 0 WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
+        for i in range(bits)
+    )
+    final = " + ".join(f"(CASE WHEN b{i} > 0 THEN {2**i}::BIGINT ELSE 0 END)" for i in range(bits))
+    return f"""WITH {_TOK_CTE},
+tt AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY doc_id, term
+),
+h AS (
+  SELECT d.doc_id, {_sql_h64('tt.term', '')} AS h, tt.tf
+  FROM documents d LEFT JOIN tt ON d.doc_id = tt.doc_id
+),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, ({final}) AS simhash FROM v"""
+
+
+_SQL_COS = (
+    "list_dot_product(a.emb, b.emb) / "
+    "(sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"
+)
+_SQL_EMB_D = "list_transform(embedding, x -> x::DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# query implementations (Spark side)
+# ---------------------------------------------------------------------------
+def q_token_counts(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def q_term_df(spark, sf_dir):
+    tt = doc_term_tf(_docs(spark, sf_dir))
+    return tt.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("total_tf"), F.max("tf").alias("max_tf")
+    )
+
+
+def q_corpus_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = F.size(tokenize(F.col("text")))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(toks), 6).alias("avgdl"),
+        F.sum(toks).alias("total_tokens"),
+        F.sum(F.when(toks == 0, 1).otherwise(0)).alias("empty_docs"),
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    out = bm25_topk(spark, _docs(spark, sf_dir), FLAGSHIP_QUERY, 10)
+    return out.select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+def q_bm25_topk_multi(spark, sf_dir):
+    out = bm25_topk_multi(spark, _docs(spark, sf_dir), MULTI_QUERIES, 10)
+    return out.select(
+        "query_id", "rank", F.col("id").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def q_bm25_cosine_topk(spark, sf_dir):
+    out = bm25_topk(spark, _docs(spark, sf_dir), FLAGSHIP_QUERY, 10, use_cosine=True)
+    return out.select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+def q_doc_vector(spark, sf_dir):
+    w = bm25_weights(_docs(spark, sf_dir))
+    return (
+        w.where(F.col("id") == DOC_VECTOR_ID)
+        .select("term", F.col("tf"), F.round("weight", 4).alias("weight"))
+    )
+
+
+def q_point_get(spark, sf_dir):
+    return _docs(spark, sf_dir).where(F.col("doc_id") == POINT_GET_ID).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_minhash_sigs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    sig = d.select(
+        "doc_id",
+        dedup.minhash_signature(
+            dedup.word_shingles(F.col("text"), SHINGLE_K), NUM_HASHES
+        ).alias("sig"),
+    ).where(F.size("sig") > 0)
+    cols = [F.element_at("sig", j + 1).alias(f"h{j:02d}") for j in range(NUM_HASHES)]
+    return sig.select("doc_id", *cols)
+
+
+def q_lsh_candidates(spark, sf_dir):
+    return dedup.minhash_lsh_candidates(
+        _docs(spark, sf_dir), shingle_k=SHINGLE_K, num_hashes=NUM_HASHES, bands=BANDS
+    )
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    out = dedup.all_pairs_jaccard(
+        _docs(spark, sf_dir), shingle_k=SHINGLE_K, threshold=JACCARD_THRESHOLD
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir)).select(F.col("id").alias("doc_id"), "simhash")
+
+
+def q_quality(spark, sf_dir):
+    out = textstats.quality_features(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round("mean_tok_len", 6).alias("mean_tok_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("upper_ratio", 6).alias("upper_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        "quality",
+    )
+
+
+def q_language_id(spark, sf_dir):
+    return textstats.language_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    out = textstats.fingerprint(_docs(spark, sf_dir), keep=4)
+    return out.where(F.size("fingerprint") >= 4).select(
+        "doc_id",
+        *[F.element_at("fingerprint", i + 1).alias(f"f{i}") for i in range(4)],
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    probes = emb.where(F.col("vec_id").isin(ANN_PROBES)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = similarity.cosine_topk(emb, probes, k=ANN_K)
+    return out.select("probe_id", "rank", "vec_id", F.round("cosine", 5).alias("cosine"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    probes = emb.where(F.col("vec_id").isin(ANN_PROBES)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = similarity.lsh_bucket_topk(emb, probes, dim=EMB_DIM, k=ANN_K, planes=LSH_PLANES)
+    return out.select("probe_id", "rank", "vec_id", F.round("cosine", 5).alias("cosine"))
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    out = similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=NEAR_DUP_COS)
+    return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    epoch = F.unix_timestamp("ts")
+    w = Window.partitionBy()
+    return (
+        ev.withColumn("hour_no", ((epoch - F.min(epoch).over(w)) / 3600).cast("long"))
+        .groupBy("hour_no", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_sessionization(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    epoch = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (epoch - F.lag(epoch).over(w)).cast("long")
+    sess = (
+        ev.withColumn("is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_idx", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))).cast("long").alias("duration_s"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_nation_revenue_top_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("n_name", "rank", "c_custkey", "c_name", "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver hooks
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-k over the sf0.001 documents corpus."""
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "token_counts": q_token_counts,
+        "term_df": q_term_df,
+        "corpus_stats": q_corpus_stats,
+        "bm25_topk": q_bm25_topk,
+        "bm25_topk_multi": q_bm25_topk_multi,
+        "bm25_cosine_topk": q_bm25_cosine_topk,
+        "doc_vector": q_doc_vector,
+        "point_get": q_point_get,
+        "dedup_exact": q_dedup_exact,
+        "minhash_sigs": q_minhash_sigs,
+        "lsh_candidates": q_lsh_candidates,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "quality_features": q_quality,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "events_hourly": q_events_hourly,
+        "sessionization": q_sessionization,
+        "pricing_summary": q_pricing_summary,
+        "nation_revenue_top_customers": q_nation_revenue_top_customers,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_scores = {
+        lang: f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains({words}, t)))::DOUBLE / len(toks) ELSE 0.0 END".replace(
+            "{words}", "[" + ", ".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang]) + "]"
+        )
+        for lang in sorted(textstats.LANG_MARKERS)
+    }
+    lang_score_cols = ",\n  ".join(f"{expr} AS s_{lang}" for lang, expr in lang_scores.items())
+    lang_case = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in sorted(textstats.LANG_MARKERS)
+    )
+    en_words = "[" + ", ".join(f"'{w}'" for w in textstats.LANG_MARKERS["en"]) + "]"
+
+    return {
+        "token_counts": f"""
+WITH {_TOK_CTE}
+SELECT d.doc_id, len(t.toks) AS n_tokens, length(d.text) AS n_chars_actual
+FROM documents d JOIN tok t USING (doc_id)""",
+        "term_df": f"""
+WITH {_TOK_CTE},
+tt AS (SELECT doc_id, term, count(*)::INT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY doc_id, term)
+SELECT term, count(*) AS df, sum(tf) AS total_tf, max(tf) AS max_tf FROM tt GROUP BY term""",
+        "corpus_stats": f"""
+WITH {_TOK_CTE}
+SELECT count(*) AS n_docs, round(avg(len(toks)), 6) AS avgdl,
+       sum(len(toks)) AS total_tokens,
+       sum(CASE WHEN len(toks) = 0 THEN 1 ELSE 0 END) AS empty_docs
+FROM tok""",
+        "bm25_topk": _sql_bm25_topk(FLAGSHIP_QUERY, 10),
+        "bm25_topk_multi": f"""{_BM25_CTES},
+q AS ({' UNION ALL '.join(
+    f"SELECT '{q['query_id']}' AS query_id, term FROM {_sql_query_terms(q['text'])}"
+    for q in MULTI_QUERIES)}),
+scored AS (
+  SELECT q.query_id, w.doc_id, sum(w.weight) AS score
+  FROM w JOIN q USING (term) GROUP BY q.query_id, w.doc_id HAVING sum(w.weight) > 0
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rank <= 10""",
+        "bm25_cosine_topk": f"""{_BM25_CTES},
+norms AS (SELECT doc_id, sqrt(sum(weight * weight)) AS norm FROM w GROUP BY doc_id),
+dotted AS (
+  SELECT w.doc_id, sum(w.weight) AS dot
+  FROM w JOIN {_sql_query_terms(FLAGSHIP_QUERY)} USING (term) GROUP BY w.doc_id
+),
+qn AS (SELECT sqrt(count(*))::DOUBLE AS qnorm FROM {_sql_query_terms(FLAGSHIP_QUERY)})
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT d.doc_id, CASE WHEN n.norm = 0 THEN 0.0 ELSE d.dot / (n.norm * qn.qnorm) END AS score
+  FROM dotted d JOIN norms n USING (doc_id) CROSS JOIN qn
+) WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""",
+        "doc_vector": f"""{_BM25_CTES}
+SELECT w.term, tt.tf, round(w.weight, 4) AS weight
+FROM w JOIN tt ON w.doc_id = tt.doc_id AND w.term = tt.term
+WHERE w.doc_id = {DOC_VECTOR_ID}""",
+        "point_get": f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = {POINT_GET_ID}""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper
+FROM documents GROUP BY md5(text)""",
+        "minhash_sigs": _sql_minhash_sig(),
+        "lsh_candidates": _sql_lsh_pairs(),
+        "jaccard_pairs": f"""
+WITH {_TOK_CTE},{_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+  SELECT id_a, id_b, i::DOUBLE / (sa.n + sb.n - i) AS j
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+) WHERE j >= {JACCARD_THRESHOLD}""",
+        "simhash": _sql_simhash(32),
+        "quality_features": f"""
+WITH {_TOK_CTE}
+SELECT d.doc_id,
+  length(d.text) AS n_chars,
+  len(t.toks) AS n_tokens,
+  round(CASE WHEN len(t.toks) > 0
+        THEN list_aggregate(list_transform(t.toks, x -> length(x)), 'sum')::DOUBLE / len(t.toks)
+        ELSE 0.0 END, 6) AS mean_tok_len,
+  round(CASE WHEN length(d.text) > 0
+        THEN length(regexp_replace(d.text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE / length(d.text)
+        ELSE 0.0 END, 6) AS punct_ratio,
+  round(CASE WHEN length(d.text) > 0
+        THEN length(regexp_replace(d.text, '[^A-Z]', '', 'g'))::DOUBLE / length(d.text)
+        ELSE 0.0 END, 6) AS upper_ratio,
+  round(CASE WHEN len(t.toks) > 0
+        THEN len(list_filter(t.toks, x -> list_contains({en_words}, x)))::DOUBLE / len(t.toks)
+        ELSE 0.0 END, 6) AS stopword_ratio,
+  round(
+    least(len(t.toks)::DOUBLE / 20.0, 1.0) * 0.5
+    + (1.0 - least((CASE WHEN length(d.text) > 0
+         THEN length(regexp_replace(d.text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE / length(d.text)
+         ELSE 0.0 END) * 4.0, 1.0)) * 0.25
+    + (1.0 - least((CASE WHEN length(d.text) > 0
+         THEN length(regexp_replace(d.text, '[^A-Z]', '', 'g'))::DOUBLE / length(d.text)
+         ELSE 0.0 END) * 4.0, 1.0)) * 0.25, 6) AS quality
+FROM documents d JOIN tok t USING (doc_id)""",
+        "language_id": f"""
+WITH {_TOK_CTE},
+scored AS (SELECT doc_id, {lang_score_cols} FROM tok),
+best_t AS (SELECT doc_id, s_de, s_en, s_es, s_fr,
+           greatest(s_de, s_en, s_es, s_fr) AS best FROM scored)
+SELECT doc_id,
+       CASE WHEN best <= 0 THEN 'und' {lang_case} END AS pred_lang,
+       round(best, 6) AS lang_score
+FROM best_t""",
+        "fingerprint": f"""
+WITH {_TOK_CTE},{_SHINGLE_CTE},
+hashes AS (
+  SELECT doc_id, list_sort(list_transform(shingles, s -> {_sql_h64('s', '')})) AS hs
+  FROM sh
+)
+SELECT doc_id, hs[1] AS f0, hs[2] AS f1, hs[3] AS f2, hs[4] AS f3
+FROM hashes WHERE len(hs) >= 4""",
+        "ann_topk": f"""
+WITH e AS (SELECT vec_id, {_SQL_EMB_D} AS emb FROM embeddings),
+p AS (SELECT vec_id AS probe_id, emb FROM e WHERE vec_id IN ({', '.join(map(str, ANN_PROBES))})),
+scored AS (
+  SELECT p.probe_id, a.vec_id,
+         list_dot_product(a.emb, p.emb)
+         / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(p.emb, p.emb))) AS cosine
+  FROM e a CROSS JOIN p WHERE a.vec_id != p.probe_id
+),
+ranked AS (
+  SELECT probe_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT probe_id, rank::INT AS rank, vec_id, round(cosine, 5) AS cosine
+FROM ranked WHERE rank <= {ANN_K}""",
+        "embedding_near_dup": f"""
+WITH e AS (SELECT vec_id, label, {_SQL_EMB_D} AS emb FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_SQL_COS}, 5) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_SQL_COS} >= {NEAR_DUP_COS}""",
+        "events_hourly": """
+WITH base AS (
+  SELECT *, ((epoch(ts) - min(epoch(ts)) OVER ()) / 3600)::BIGINT AS hour_no FROM events
+)
+SELECT hour_no, event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM base GROUP BY hour_no, event_type""",
+        "sessionization": """
+WITH g AS (
+  SELECT *, epoch(ts)::BIGINT AS es,
+         lag(epoch(ts)::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END AS is_new FROM g
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       (max(es) - min(es))::BIGINT AS duration_s, round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, session_idx""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+        "nation_revenue_top_customers": """
+WITH rev AS (
+  SELECT n.n_name, c.c_custkey, c.c_name, round(sum(o.o_totalprice), 2) AS revenue
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, c.c_custkey, c.c_name
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS rank
+  FROM rev
+)
+SELECT n_name, rank::INT AS rank, c_custkey, c_name, revenue FROM ranked WHERE rank <= 3""",
+    }

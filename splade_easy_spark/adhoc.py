@@ -1,0 +1,135 @@
+"""Ad-hoc BM25 pipeline: the index build + query plan as one lazy DataFrame
+program over any ``(id, text)`` corpus — no materialized index.
+
+This is the same logical algebra as the persisted path (builder.py +
+searcher.py); Catalyst sees one plan: scan → map-side tf → df/stats aggs →
+weight → broadcast query join → hash agg → TakeOrderedAndProject.  Used by
+the driver correctness gate (``__spark_entry__.py``) where every query must
+be mirrored by a DuckDB SQL oracle, and handy interactively for one-off
+corpora.  Double precision end to end (unlike the packed float32 postings),
+so results are comparable to the SQL oracle at 1e-9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from splade_easy_spark.config import BM25Params, AnalyzerConfig, IndexConfig
+from splade_easy_spark.functions.bm25 import bm25_weight_expr, idf_expr
+from splade_easy_spark.functions.text import tokenize
+from splade_easy_spark.query.searcher import analyze_query
+
+
+def doc_term_tf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                analyzer: AnalyzerConfig | None = None) -> DataFrame:
+    """(id, doc_len, term, tf) with tf computed inside the row (no
+    token-grain shuffle) — same kernel as builder._term_tf."""
+    toks = tokenize(F.col(text_col), analyzer)
+    tf_structs = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(t.alias("term"), F.size(F.filter(toks, lambda x: x == t)).alias("tf")),
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("doc_len"),
+        F.explode(tf_structs).alias("e"),
+    ).select("id", "doc_len", F.col("e.term").alias("term"), F.col("e.tf").alias("tf"))
+
+
+def bm25_weights(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 params: BM25Params | None = None,
+                 analyzer: AnalyzerConfig | None = None) -> DataFrame:
+    """(id, term, tf, doc_len, weight): full corpus-statistics BM25 doc-side
+    weights, computed with scalar-subquery stats (stays one lazy plan)."""
+    p = params or BM25Params()
+    tt = doc_term_tf(docs, id_col, text_col, analyzer)
+    toks_len = F.size(tokenize(F.col(text_col), analyzer))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"), F.avg(toks_len).alias("avgdl")
+    )
+    dfs = tt.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        tt.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            "term",
+            "tf",
+            "doc_len",
+            bm25_weight_expr(
+                F.col("tf"), F.col("doc_len"), F.col("avgdl"),
+                idf_expr(F.col("df"), F.col("n_docs")), p,
+            ).alias("weight"),
+        )
+    )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_text: str,
+    top_k: int = 10,
+    use_cosine: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """(id, score) top-k for one query string, desc score / asc id."""
+    terms = analyze_query(query_text, IndexConfig(bm25=params or BM25Params()))
+    if not terms:
+        return spark.createDataFrame([], "id STRING, score DOUBLE")
+    qdf = spark.createDataFrame(terms, "term STRING, qweight DOUBLE")
+    w = bm25_weights(docs, id_col, text_col, params)
+    scored = w.join(F.broadcast(qdf), "term").groupBy("id").agg(
+        F.sum(F.col("weight") * F.col("qweight")).alias("score")
+    )
+    if use_cosine:
+        norms = bm25_weights(docs, id_col, text_col, params).groupBy("id").agg(
+            F.sqrt(F.sum(F.col("weight") ** 2)).alias("norm")
+        )
+        qnorm = float(sum(qw * qw for _, qw in terms)) ** 0.5
+        scored = scored.join(norms, "id").select(
+            "id",
+            F.when(F.col("norm") == 0, F.lit(0.0))
+            .otherwise(F.col("score") / (F.col("norm") * F.lit(qnorm)))
+            .alias("score"),
+        )
+    return (
+        scored.where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(top_k)
+    )
+
+
+def bm25_topk_multi(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[dict],
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, rank, id, score): batch top-k, one job for all queries."""
+    rows = [
+        (q["query_id"], term, qw)
+        for q in queries
+        for term, qw in analyze_query(q["text"])
+    ]
+    if not rows:
+        return spark.createDataFrame([], "query_id STRING, rank INT, id STRING, score DOUBLE")
+    qdf = spark.createDataFrame(rows, "query_id STRING, term STRING, qweight DOUBLE")
+    w = bm25_weights(docs, id_col, text_col)
+    scored = (
+        w.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "id")
+        .agg(F.sum(F.col("weight") * F.col("qweight")).alias("score"))
+        .where(F.col("score") > 0)
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= top_k)
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,145 @@
+"""Incremental append: add new transcript turns to an existing index.
+
+The reference's write path appends documents whose vectors are computed
+per-document, independent of the rest of the corpus
+(``src/splade_easy/index.py:133-205``), so appends never change existing
+documents.  BM25 doc weights *do* depend on corpus statistics, so this
+engine makes the same no-rewrite guarantee by **freezing** the build-time
+statistics (N, avgdl, per-term idf) and weighting appended docs with them;
+terms unseen at build time get idf from their batch df against the frozen N.
+Statistics therefore drift as appends accumulate — ``refresh_stats`` (a
+stats+postings rebuild, cheap relative to re-tokenizing: stage-level resume
+applies) re-derives exact weights; the drift-then-refresh cycle is the
+standard trade for append-only search indexes.
+
+New docs get doc_ints continuing after the current maximum, which means
+appended postings either open fresh segments or add extra block runs to the
+tail segment — both layouts the query kernels already handle (scoring is
+additive over block runs; the SQL path is layout-agnostic).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splade_easy_spark.config import IndexConfig
+from splade_easy_spark.functions.bm25 import bm25_weight_expr, idf_expr
+from splade_easy_spark.functions.text import doc_id_expr, tokenize
+from splade_easy_spark.index.builder import POSTINGS_SCHEMA, _pack_group, _term_tf
+from splade_easy_spark.index.catalog import IndexCatalog, term_bucket_expr
+from splade_easy_spark.index.docids import assign_doc_ints
+
+
+def append_documents(
+    spark: SparkSession,
+    index_dir: str,
+    transcripts: DataFrame,
+    config: IndexConfig | None = None,
+) -> dict:
+    """Append a batch of turns; returns counts.  One tokenize pass, one
+    small stats lookup, appends to docs/doc_terms/postings/doc_norms."""
+    cat = IndexCatalog(index_dir, config)
+    cfg = cat.config
+    t0 = time.time()
+    stats = cat.corpus_stats(spark)
+    n_docs_frozen, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 1.0)
+    next_int = (
+        cat.read(spark, "docs").agg(F.max("doc_int").alias("m")).collect()[0]["m"] or -1
+    ) + 1
+
+    base = transcripts.select(
+        doc_id_expr().alias("doc_id"),
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    ).withColumn("doc_len", F.size(tokenize(F.col("text"), cfg.analyzer)))
+    new_docs = assign_doc_ints(base, "doc_id", cfg.build_partitions).withColumn(
+        "doc_int", F.col("doc_int") + F.lit(next_int)
+    )
+    cat.write(new_docs, "docs", mode="append")
+    new_docs = spark.read.parquet(cat.table_dir("docs")).where(F.col("doc_int") >= next_int)
+    n_new = new_docs.count()
+
+    term_tf = _term_tf(new_docs, cfg)
+    tstats = cat.read(spark, "term_stats").select("term", "idf")
+    batch_df = term_tf.groupBy("term").agg(F.count("*").alias("batch_df"))
+    # frozen idf where known; batch-derived idf (vs frozen N) for new terms
+    idf_map = batch_df.join(tstats, "term", "left").select(
+        "term",
+        F.coalesce(F.col("idf"), idf_expr(F.col("batch_df"), n_docs_frozen)).alias("idf"),
+        F.col("batch_df"),
+        F.col("idf").isNull().alias("is_new_term"),
+    )
+    weighted = (
+        term_tf.join(F.broadcast(idf_map.select("term", "idf")), "term")
+        .withColumn(
+            "weight",
+            bm25_weight_expr(F.col("tf"), F.col("doc_len"), avgdl, F.col("idf"), cfg.bm25),
+        )
+        .withColumn("tb", term_bucket_expr(F.col("term"), cfg.term_buckets))
+    )
+    norms = weighted.groupBy("doc_int").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
+    )
+    norms.write.mode("append").parquet(cat.table_dir("doc_norms"))
+    doc_terms = weighted.join(norms.withColumnRenamed("norm", "_n"), "doc_int").select(
+        "tb", "term", "doc_int", "tf", "weight", F.col("_n").alias("norm")
+    )
+    doc_terms.repartition(min(cfg.build_partitions, 8), "tb").write.mode("append").partitionBy(
+        "tb"
+    ).parquet(cat.table_dir("doc_terms"))
+
+    new_dt = spark.read.parquet(cat.table_dir("doc_terms")).where(F.col("doc_int") >= next_int)
+    packed = (
+        new_dt.withColumn("seg", (F.col("doc_int") / F.lit(cfg.segment_docs)).cast("long"))
+        .withColumn("block_size", F.lit(cfg.block_size))
+        .groupBy("seg", "term")
+        .applyInPandas(_pack_group, schema=POSTINGS_SCHEMA)
+    )
+    packed.write.mode("append").partitionBy("seg").parquet(cat.table_dir("postings"))
+
+    # register batch-new terms so query-time idf exists for them
+    new_terms = idf_map.where(F.col("is_new_term")).select(
+        "term",
+        F.col("batch_df").alias("df"),
+        F.lit(None).cast("int").alias("max_tf"),
+        "idf",
+        term_bucket_expr(F.col("term"), cfg.term_buckets).alias("tb"),
+    )
+    n_new_terms = new_terms.count()
+    if n_new_terms:
+        new_terms.write.mode("append").parquet(cat.table_dir("term_stats"))
+
+    man = cat.manifest
+    appended = man.data.setdefault("appends", [])
+    appended.append(
+        {"docs": n_new, "new_terms": n_new_terms, "at": time.time(), "elapsed_sec": round(time.time() - t0, 3)}
+    )
+    man.save()
+    return {"appended_docs": n_new, "new_terms": n_new_terms, "elapsed_sec": round(time.time() - t0, 3)}
+
+
+def refresh_stats(spark: SparkSession, index_dir: str, config: IndexConfig | None = None) -> dict:
+    """Re-derive exact corpus statistics and weights after appends: reruns
+    the stats + postings stages over the full docs table (stage-committed,
+    resumable like the build)."""
+    from splade_easy_spark.index.builder import _stage_postings, _stage_stats, _STAGE_TABLES
+
+    cat = IndexCatalog(index_dir, config)
+    t0 = time.time()
+    m1 = _stage_stats(spark, cat)
+    cat.manifest.record_stage("stats", {t: t for t in _STAGE_TABLES["stats"]}, m1)
+    # postings rewrite must not append onto old postings: clear first
+    import shutil
+
+    for t in ["doc_terms", "postings", "doc_norms"]:
+        shutil.rmtree(cat.table_dir(t), ignore_errors=True)
+    m2 = _stage_postings(spark, cat)
+    cat.manifest.record_stage("postings", {t: t for t in _STAGE_TABLES["postings"]}, m2)
+    return {"elapsed_sec": round(time.time() - t0, 3), **m1}

@@ -1,0 +1,214 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all pure DataFrame ops (JVM-side, codegen'd — no UDFs):
+
+- exact:        md5(text) hash-groupBy (one shuffle on the hash)
+- minhash LSH:  word-shingles → H minhashes → banded bucket keys →
+                bucket-join candidate pairs (classic (H=16, bands=4) LSH;
+                the shuffle is on band bucket keys, which are uniformly
+                distributed by construction — no skew)
+- simhash:      64-bit weighted bit-vote fingerprint per doc
+- n-gram Jaccard: exact shingle-set Jaccard, used to verify LSH candidates
+
+All hashing goes through ``md5_hash64`` (first 8 hex chars of md5 → BIGINT)
+so the DuckDB oracle reproduces values bit-for-bit
+(``('0x'||substr(md5(x),1,8))::BIGINT``).  At production scale you would
+swap ``xxhash64`` in via the ``hash_fn`` parameter — same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from splade_easy_spark.config import AnalyzerConfig
+from splade_easy_spark.functions.text import tokenize
+
+
+def md5_hash64(col: Column, seed: int | str = "") -> Column:
+    """Deterministic 32-bit-in-a-long hash shared with the DuckDB oracle."""
+    payload = F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+
+
+def xxhash64_hash(col: Column, seed: int | str = "") -> Column:
+    return F.xxhash64(F.concat(F.lit(f"{seed}:"), col))
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: (text_hash, n_docs, keeper) — keeper = min id per
+    duplicate group; filter ``n_docs > 1`` for the actual dup groups."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min(F.col(id_col)).alias("keeper"))
+    )
+
+
+def word_shingles(text_col: Column, k: int = 3, analyzer: AnalyzerConfig | None = None) -> Column:
+    """ARRAY<STRING> of word k-shingles (space-joined), per row, JVM-side."""
+    toks = tokenize(text_col, analyzer)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))).otherwise(
+        F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def minhash_signature(
+    shingles_col: Column, num_hashes: int = 16, hash_fn=md5_hash64
+) -> Column:
+    """ARRAY<BIGINT> of per-seed min-hashes over the shingle set."""
+    mins = [
+        F.array_min(F.transform(shingles_col, lambda s, j=j: hash_fn(s, j)))
+        for j in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn=md5_hash64,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) that collide in ≥1 LSH
+    band.  Plan: map-side signature → explode bands (rows × bands) →
+    shuffle on uniform bucket key → within-bucket pair join."""
+    rows = bands and num_hashes // bands
+    sig = (
+        df.select(
+            F.col(id_col).alias("id"),
+            minhash_signature(word_shingles(F.col(text_col), shingle_k), num_hashes, hash_fn).alias("sig"),
+        )
+        .where(F.size("sig") > 0)
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.lit(b),
+                                *[F.element_at("sig", b * rows + r + 1).cast("string") for r in range(rows)],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32, hash_fn=md5_hash64) -> DataFrame:
+    """Per-doc SimHash fingerprint: tf-weighted bit votes over token hashes.
+
+    (id, simhash BIGINT).  32 bits by default so the md5-based shared hash
+    covers every position; pass bits=64 with xxhash64 for production."""
+    toks = tokenize(F.col(text_col))
+    tf = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            hash_fn(t).alias("h"), F.size(F.filter(toks, lambda x: x == t)).alias("tf")
+        ),
+    )
+    exploded = df.select(F.col(id_col).alias("id"), F.explode_outer(tf).alias("e")).select(
+        "id", F.col("e.h").alias("h"), F.col("e.tf").alias("tf")
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").isNull(), F.lit(0)).otherwise(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
+            )
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = exploded.groupBy("id").agg(*votes)
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return agg.select("id", sim.alias("simhash"))
+
+
+def all_pairs_jaccard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing ≥1 shingle, via the
+    shingle inverted-index self-join (candidate generation + intersection
+    count in one shuffle).  (id_a, id_b, jaccard ≥ threshold).
+
+    Scale note: the self-join key is the shingle — Zipfian-hot shingles
+    blow up quadratically, which is exactly why the LSH path
+    (``minhash_lsh_candidates``) exists; this exact variant is the oracle/
+    small-corpus tool."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate (id_a, id_b) pairs:
+    broadcast-friendly join of the pair list against per-doc shingle sets.
+    Returns (id_a, id_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    out = (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)

@@ -117,7 +117,12 @@ def wand_search_scores(
         np.array(sorted(deleted_doc_ints), dtype=np.int64) if deleted_doc_ints else None
     )
 
-    pruned = postings.where(F.col("term").isin(qterms))
+    # Term filter FIRST (parquet predicate pushdown — only the query's
+    # posting lists are read), then colocate each segment's surviving blocks
+    # in one partition.  The kernel needs a segment's blocks together to
+    # produce complete document scores; this repartition moves only the
+    # query's postings (same volume the SQL path shuffles into its join).
+    pruned = postings.where(F.col("term").isin(qterms)).repartition(F.col("seg"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         frames = [b for b in batches if len(b)]

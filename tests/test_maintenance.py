@@ -70,9 +70,12 @@ def test_reshard_preserves_results(spark, small_index):
     assert out["after"]["tables"]["postings"]["files"] > 0
     s2 = Searcher(spark, idx_dir, CFG)
     after_sql = [(r["doc_id"], round(r["score"], 9)) for r in s2.search("baba0 ceba1", 20).collect()]
-    after_wand = [(r["doc_id"], round(r["score"], 9)) for r in s2.search("baba0 ceba1", 20, method="wand").collect()]
+    after_wand = [(r["doc_id"], r["score"]) for r in s2.search("baba0 ceba1", 20, method="wand").collect()]
     assert before_sql == after_sql  # cf. test_reshard.py:74-100
-    assert before_sql == after_wand  # new segment/block sizes, same results
+    # wand path reads float32 packed weights → reference tolerance 1e-5
+    assert [d for d, _ in before_sql] == [d for d, _ in after_wand]
+    for (_, sb), (_, sw) in zip(before_sql, after_wand):
+        assert abs(sb - sw) <= 1e-5 * max(1.0, abs(sb))
 
 
 def test_stats_counts(spark, small_index):

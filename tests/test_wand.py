@@ -43,9 +43,13 @@ def test_wand_equals_sql_and_oracle(corpus, spark):
             for r in s.search(q["text"], top_k=10, method="wand").collect()
         ]
         expected = oracle.search(q["text"], top_k=10)
-        assert_topk_matches(wand_rows, expected, 10)
-        # wand vs sql: identical modulo tie order → compare (rounded score) lists
-        assert [round(x[1], 9) for x in wand_rows] == [round(x[1], 9) for x in sql_rows]
+        # packed weights are float32 (reference wire format, schema.fbs:15);
+        # accumulate float64 — compare at the reference's 1e-5 tolerance
+        # (tests/test_scoring.py:20)
+        assert_topk_matches(wand_rows, expected, 10, tol=1e-5)
+        assert len(wand_rows) == len(sql_rows)
+        for (wd, ws), (sd, ss) in zip(wand_rows, sql_rows):
+            assert abs(ws - ss) <= 1e-5 * max(1.0, abs(ss))
 
 
 def test_wand_respects_tombstones(corpus, spark):
