@@ -37,7 +37,7 @@ MULTI_QUERIES = [
 SHINGLE_K = 3
 NUM_HASHES, BANDS, ROWS_PER_BAND = 16, 4, 4
 JACCARD_THRESHOLD = 0.2
-NEAR_DUP_COS = 0.80
+NEAR_DUP_COS = 0.30
 ANN_PROBES = [0, 1, 2]
 ANN_K = 10
 EMB_DIM, LSH_PLANES = 64, 8
@@ -427,9 +427,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    def _words(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang]) + "]"
+
     lang_scores = {
-        lang: f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains({words}, t)))::DOUBLE / len(toks) ELSE 0.0 END".replace(
-            "{words}", "[" + ", ".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang]) + "]"
+        lang: (
+            "CASE WHEN len(toks) > 0 THEN "
+            f"len(list_filter(toks, t -> list_contains({_words(lang)}, t)))::DOUBLE / len(toks) "
+            "ELSE 0.0 END"
         )
         for lang in sorted(textstats.LANG_MARKERS)
     }
@@ -448,12 +453,12 @@ FROM documents d JOIN tok t USING (doc_id)""",
 WITH {_TOK_CTE},
 tt AS (SELECT doc_id, term, count(*)::INT AS tf
        FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY doc_id, term)
-SELECT term, count(*) AS df, sum(tf) AS total_tf, max(tf) AS max_tf FROM tt GROUP BY term""",
+SELECT term, count(*) AS df, sum(tf)::BIGINT AS total_tf, max(tf) AS max_tf FROM tt GROUP BY term""",
         "corpus_stats": f"""
 WITH {_TOK_CTE}
 SELECT count(*) AS n_docs, round(avg(len(toks)), 6) AS avgdl,
-       sum(len(toks)) AS total_tokens,
-       sum(CASE WHEN len(toks) = 0 THEN 1 ELSE 0 END) AS empty_docs
+       sum(len(toks))::BIGINT AS total_tokens,
+       sum(CASE WHEN len(toks) = 0 THEN 1 ELSE 0 END)::BIGINT AS empty_docs
 FROM tok""",
         "bm25_topk": _sql_bm25_topk(FLAGSHIP_QUERY, 10),
         "bm25_topk_multi": f"""{_BM25_CTES},
@@ -573,15 +578,15 @@ FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_SQL_COS} >= {NEAR_DUP_COS}""",
         "events_hourly": """
 WITH base AS (
-  SELECT *, ((epoch(ts) - min(epoch(ts)) OVER ()) / 3600)::BIGINT AS hour_no FROM events
+  SELECT *, floor((floor(epoch(ts)) - min(floor(epoch(ts))) OVER ()) / 3600)::BIGINT AS hour_no FROM events
 )
 SELECT hour_no, event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM base GROUP BY hour_no, event_type""",
         "sessionization": """
 WITH g AS (
-  SELECT *, epoch(ts)::BIGINT AS es,
-         lag(epoch(ts)::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  SELECT *, floor(epoch(ts))::BIGINT AS es,
+         lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events
 ),
 marked AS (
@@ -589,7 +594,7 @@ marked AS (
 ),
 sess AS (
   SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_idx
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
   FROM marked
 )
 SELECT user_id, session_idx, count(*) AS n_events,

@@ -1,0 +1,119 @@
+"""Benchmark harness: headline engine operations at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extra": {...}}
+
+Headline suite:
+  build_index      — synthetic transcript corpus (~10k turns per lineitem-sf
+                     unit → 100k turns at sf0.1) through the full build
+                     (tokenize → stats → weighted postings, both layouts)
+  search_batch50   — the 50-query reference query set in ONE batch job
+  search_single    — one cold single-query search (SQL path)
+  search_wand      — same query through the packed/WAND path
+  bm25_docs_topk   — ad-hoc BM25 top-k over the sf documents table
+  dedup_minhash    — MinHash-LSH candidate pairs over documents
+  ann_topk         — brute-force cosine top-k over embeddings
+  quality_langid   — quality + language-id scan over documents
+
+Extra metrics: build turns/sec (the BASELINE.json headline), index sizes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    from splade_easy_spark.config import IndexConfig
+    from splade_easy_spark.data import generate_transcripts, generate_query_set
+    from splade_easy_spark.index import build_index
+    from splade_easy_spark.query import Searcher
+    from splade_easy_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ~36 turns/conv avg → 100k turns at sf0.1
+    num_convs = max(30, int(28000 * sf))
+    cfg = IndexConfig(
+        build_partitions=max(cpus, 16),
+        term_buckets=64,
+        segment_docs=1 << 14,
+        block_size=128,
+    )
+    idx_dir = tempfile.mkdtemp(prefix="bench_index_")
+    timings: dict[str, float] = {}
+    extra: dict = {"cpus": cpus, "num_convs": num_convs}
+
+    try:
+        t0 = time.time()
+        tx = generate_transcripts(spark, num_convs=num_convs, seed=42)
+        result = build_index(spark, tx, idx_dir, cfg)
+        timings["build_index"] = round(time.time() - t0, 3)
+        extra["n_docs"] = result.n_docs
+        extra["n_terms"] = result.n_terms
+        extra["build_turns_per_sec"] = round(result.n_docs / timings["build_index"], 1)
+
+        searcher = Searcher(spark, idx_dir, cfg)
+        qset = generate_query_set(50)
+
+        t0 = time.time()
+        n = searcher.search_many(qset, top_k=10).count()
+        timings["search_batch50"] = round(time.time() - t0, 3)
+        extra["batch_hits"] = n
+
+        q1 = qset[0]["text"]
+        t0 = time.time()
+        searcher.search(q1, top_k=10).collect()
+        timings["search_single"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        searcher.search(q1, top_k=10, method="wand").collect()
+        timings["search_wand"] = round(time.time() - t0, 3)
+
+        for name in ["bm25_topk", "lsh_candidates", "ann_topk", "quality_features", "language_id"]:
+            fn = entry.queries()[name]
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            key = {
+                "bm25_topk": "bm25_docs_topk",
+                "lsh_candidates": "dedup_minhash",
+                "quality_features": "quality_scan",
+                "language_id": "langid_scan",
+            }.get(name, name)
+            timings[key] = round(time.time() - t0, 3)
+
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "splade_easy_spark_headline_suite",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "extra": extra,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

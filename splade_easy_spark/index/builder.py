@@ -85,8 +85,7 @@ def _stage_docs(spark: SparkSession, transcripts: DataFrame, cat: IndexCatalog) 
     ).withColumn("doc_len", F.size(tokenize(F.col("text"), cfg.analyzer)))
     docs = assign_doc_ints(base, "doc_id", cfg.build_partitions)
     cat.write(docs, "docs")
-    n = spark.read.parquet(cat.table_dir("docs")).count()
-    return {"rows": n}
+    return {"rows": cat.table_rows("docs")}
 
 
 def _stage_stats(spark: SparkSession, cat: IndexCatalog) -> dict:
@@ -108,7 +107,7 @@ def _stage_stats(spark: SparkSession, cat: IndexCatalog) -> dict:
         "tb", term_bucket_expr(F.col("term"), cfg.term_buckets)
     )
     cat.write(tstats, "term_stats")
-    n_terms = spark.read.parquet(cat.table_dir("term_stats")).count()
+    n_terms = cat.table_rows("term_stats")
     stats_df = spark.createDataFrame(
         [(n_docs, avgdl, int(agg["total_tokens"] or 0), n_terms)],
         "n_docs LONG, avgdl DOUBLE, total_tokens LONG, n_terms LONG",
@@ -220,8 +219,8 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog) -> dict:
     )
     cat.write(packed, "postings", partition_by=["seg"])
 
-    n_postings = dt.count()
-    n_blocks = spark.read.parquet(cat.table_dir("postings")).count()
+    n_postings = cat.table_rows("doc_terms")
+    n_blocks = cat.table_rows("postings")
     return {
         "n_postings": n_postings,
         "n_blocks": n_blocks,

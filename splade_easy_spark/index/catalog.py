@@ -63,3 +63,10 @@ class IndexCatalog:
     def corpus_stats(self, spark: SparkSession) -> dict:
         row = self.read(spark, "corpus_stats").collect()[0]
         return row.asDict()
+
+    def table_rows(self, name: str) -> int:
+        """Exact row count from parquet footers — no Spark job."""
+        import pyarrow.parquet as pq
+
+        p = Path(self.table_dir(name))
+        return sum(pq.read_metadata(f).num_rows for f in p.rglob("*.parquet"))

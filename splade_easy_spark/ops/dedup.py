@@ -57,12 +57,16 @@ def word_shingles(text_col: Column, k: int = 3, analyzer: AnalyzerConfig | None 
 def minhash_signature(
     shingles_col: Column, num_hashes: int = 16, hash_fn=md5_hash64
 ) -> Column:
-    """ARRAY<BIGINT> of per-seed min-hashes over the shingle set."""
-    mins = [
-        F.array_min(F.transform(shingles_col, lambda s, j=j: hash_fn(s, j)))
-        for j in range(num_hashes)
-    ]
-    return F.array(*mins)
+    """ARRAY<BIGINT> of per-seed min-hashes over the shingle set.
+
+    NB: seed binding uses a factory function, not a lambda default arg — a
+    two-parameter HOF lambda would be interpreted by PySpark as
+    ``(element, index)`` and silently bind the seed to the array index."""
+
+    def min_for_seed(j: int) -> Column:
+        return F.array_min(F.transform(shingles_col, lambda s: hash_fn(s, j)))
+
+    return F.array(*[min_for_seed(j) for j in range(num_hashes)])
 
 
 def minhash_lsh_candidates(

@@ -67,14 +67,15 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     toks = tokenize(F.col(text_col))
     n = F.size(toks)
     langs = sorted(LANG_MARKERS)
-    scores = {
-        lang: F.when(
+
+    def score_for(ws: list[str]):
+        # factory scope so the single-arg HOF lambda closes over ws correctly
+        return F.when(
             n > 0,
-            F.size(F.filter(toks, lambda t, ws=LANG_MARKERS[lang]: t.isin(ws))).cast("double")
-            / n.cast("double"),
+            F.size(F.filter(toks, lambda t: t.isin(ws))).cast("double") / n.cast("double"),
         ).otherwise(F.lit(0.0))
-        for lang in langs
-    }
+
+    scores = {lang: score_for(LANG_MARKERS[lang]) for lang in langs}
     best = F.greatest(*scores.values())
     # first-match CASE chain in lang-code order = deterministic tiebreak,
     # trivially identical in the SQL oracle

@@ -1,0 +1,167 @@
+"""Training-data ops tests: dedup family, similarity search, text stats,
+multimodal plumbing — each verified against brute-force Python/NumPy."""
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from splade_easy_spark.ops import dedup, similarity, textstats, multimodal
+
+
+def h64(s: str, seed="") -> int:
+    return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:8], 16)
+
+
+def shingles_py(text: str, k=3):
+    toks = re.findall("[a-z0-9]+", text.lower())
+    if len(toks) >= k:
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    return {" ".join(toks)} if toks else set()
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different words entirely unrelated text here"),
+        (5, "el gato rapido salta sobre el perro perezoso en la casa"),
+        (6, ""),
+        (7, "Der Hund und die Katze sind Freunde von der Familie"),
+        (8, "the quick brown fox leaps over the lazy dog"),  # near dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+
+def test_exact_duplicates(spark, corpus_df):
+    out = {r["text_hash"]: r for r in dedup.exact_duplicates(corpus_df).collect()}
+    dup_groups = [r for r in out.values() if r["n_docs"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["n_docs"] == 2 and dup_groups[0]["keeper"] == 1
+
+
+def test_word_shingles_match_python(spark, corpus_df):
+    got = corpus_df.select(
+        "doc_id", F.array_distinct(dedup.word_shingles(F.col("text"))).alias("sh")
+    ).collect()
+    for r in got:
+        text = dict((x["doc_id"], x["text"]) for x in corpus_df.collect())[r["doc_id"]]
+        expected = shingles_py(text)
+        assert set(r["sh"] or []) == expected or (not expected and not r["sh"])
+
+
+def test_minhash_signature_values(spark, corpus_df):
+    sig = corpus_df.where(F.col("doc_id") == 1).select(
+        dedup.minhash_signature(dedup.word_shingles(F.col("text")), 8).alias("sig")
+    ).collect()[0]["sig"]
+    sh = shingles_py("the quick brown fox jumps over the lazy dog")
+    expected = [min(h64(s, j) for s in sh) for j in range(8)]
+    assert sig == expected
+
+
+def test_lsh_finds_near_dups(spark, corpus_df):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(corpus_df, id_col="doc_id").collect()
+    }
+    assert (1, 3) in pairs  # exact dup always collides
+    # near-dup 1↔8 shares most shingles; 4 must not pair with 1
+    assert (1, 4) not in pairs
+
+
+def test_jaccard_exact(spark, corpus_df):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.all_pairs_jaccard(corpus_df, threshold=0.0).collect()
+    }
+    s1, s8 = shingles_py("the quick brown fox jumps over the lazy dog"), shingles_py(
+        "the quick brown fox leaps over the lazy dog"
+    )
+    expected = len(s1 & s8) / len(s1 | s8)
+    assert abs(out[(1, 8)] - expected) < 1e-9
+    assert out[(1, 3)] == 1.0
+
+
+def test_simhash_identical_docs_equal(spark, corpus_df):
+    out = {r["id"]: r["simhash"] for r in dedup.simhash(corpus_df, id_col="doc_id").collect()}
+    assert out[1] == out[3]  # identical text → identical fingerprint
+    assert out[6] == 0  # empty doc → zero fingerprint
+    # hamming(1, 8) << hamming(1, 4)
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(out[1], out[8]) < ham(out[1], out[4])
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    probes = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = similarity.cosine_topk(df, probes, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["probe_id"], []).append((r["vec_id"], r["cosine"]))
+    v = vecs.astype(np.float64)
+    sims = v @ v.T / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    for p in (0, 1):
+        order = [i for i in np.argsort(-sims[p], kind="stable") if i != p][:5]
+        assert [x[0] for x in got[p]] == order
+        for (vid, c), i in zip(got[p], order):
+            assert abs(c - sims[p][i]) < 1e-9
+
+
+def test_lsh_bucket_topk_subset_of_exact(spark):
+    rng = np.random.default_rng(6)
+    vecs = rng.normal(size=(80, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    probes = df.where(F.col("vec_id") == 0).select(F.col("vec_id").alias("probe_id"), "embedding")
+    approx = similarity.lsh_bucket_topk(df, probes, dim=16, k=10, planes=4).collect()
+    assert approx  # probe matches its own bucket at minimum... itself excluded, bucket non-trivial
+    exact = {r["vec_id"]: r["cosine"] for r in similarity.cosine_topk(df, probes, k=80).collect()}
+    for r in approx:
+        assert abs(exact[r["vec_id"]] - r["cosine"]) < 1e-9  # same scores where returned
+
+
+def test_quality_and_langid(spark, corpus_df):
+    q = {r["doc_id"]: r for r in textstats.quality_features(corpus_df).collect()}
+    assert q[6]["n_tokens"] == 0 and q[6]["quality"] <= 0.5
+    assert q[1]["stopword_ratio"] == pytest.approx(2 / 9)
+    lang = {r["doc_id"]: r["pred_lang"] for r in textstats.language_id(corpus_df).collect()}
+    assert lang[1] == "en" and lang[5] == "es" and lang[7] == "de" and lang[6] == "und"
+
+
+def test_fingerprint_kmv(spark, corpus_df):
+    out = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(corpus_df).collect()}
+    sh = sorted(h64(s) for s in shingles_py("the quick brown fox jumps over the lazy dog"))
+    assert out[1] == sh[:4]
+    assert out[1] == out[3]
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthesize_media(spark, 60)
+    stats = {r["modality"]: r for r in multimodal.media_stats(media).collect()}
+    assert set(stats) == {"image", "audio", "video"}
+    assert sum(r["n"] for r in stats.values()) == 60
+    assert sum(r["n_null"] for r in stats.values()) > 0
+
+    feats = multimodal.extract_features(media, decode_fn=multimodal.fake_decode).collect()
+    assert len(feats) == 60
+    by_id = {r["media_id"]: r for r in feats}
+    some = next(r for r in feats if r["n_bytes"] > 0)
+    expected = multimodal.fake_decode(
+        hashlib.sha256(f"42:{int(some['media_id'][2:])}".encode()).digest()
+        * (1 + int(some["media_id"][2:]) % 5),
+        some["modality"],
+    )
+    assert np.allclose(some["feature"], expected, rtol=1e-6)
+
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        multimodal.extract_features(media).collect()  # stub path raises
