@@ -202,8 +202,13 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog) -> dict:
         )
         .select("tb", "term", "doc_int", "tf", "weight", "norm", "_salt")
     )
+    # sortWithinPartitions(term) gives tight parquet row-group min/max stats
+    # on term, so query-time `term IN (...)` predicates prune row groups, not
+    # just bucket directories
     cat.write(
-        doc_terms.repartition(cfg.build_partitions, F.col("tb"), F.col("_salt")).drop("_salt"),
+        doc_terms.repartition(cfg.build_partitions, F.col("tb"), F.col("_salt"))
+        .drop("_salt")
+        .sortWithinPartitions("term", "doc_int"),
         "doc_terms",
         partition_by=["tb"],
     )

@@ -110,17 +110,22 @@ class Searcher:
     def _deleted(self) -> DataFrame | None:
         return self.cat.read_deleted(self.spark)
 
-    def _scores(self, qdf: DataFrame, use_cosine: bool) -> DataFrame:
+    def _scores(self, terms: list[tuple[str, float]], use_cosine: bool) -> DataFrame:
         """(doc_int, score) for all docs sharing ≥1 query term."""
-        buckets = [
-            r["tb"]
-            for r in qdf.select(
-                term_bucket_expr(F.col("term"), self.config.term_buckets).alias("tb")
-            )
-            .distinct()
-            .collect()
-        ]
-        dt = self.doc_terms.where(F.col("tb").isin(buckets))  # partition pruning
+        import zlib
+
+        qdf = self._query_df(terms)
+        qterms = [t for t, _ in terms]
+        # driver-side bucket computation (no Spark job): same crc32 bucketing
+        # as term_bucket_expr
+        buckets = sorted(
+            {zlib.crc32(t.encode()) % self.config.term_buckets for t in qterms}
+        )
+        # partition pruning on tb + row-group pruning on term (files are
+        # term-sorted within buckets, so the IN-filter reaches the scan)
+        dt = self.doc_terms.where(
+            F.col("tb").isin(buckets) & F.col("term").isin(qterms)
+        )
         joined = dt.join(F.broadcast(qdf), "term")
         if use_cosine:
             qnorm_row = qdf.agg(F.sqrt(F.sum(F.col("qweight") ** 2)).alias("n")).collect()[0]
@@ -195,7 +200,7 @@ class Searcher:
                 self.spark, postings, terms, seg_docs, top_k, del_ints
             )
         else:
-            scores = self._scores(self._query_df(terms), use_cosine)
+            scores = self._scores(terms, use_cosine)
             if deleted is not None:
                 scores = scores.join(
                     F.broadcast(deleted.select("doc_int")), "doc_int", "left_anti"
@@ -224,16 +229,16 @@ class Searcher:
             return self.spark.createDataFrame(
                 [], "query_id STRING, rank INT, doc_id STRING, score DOUBLE, conv_id STRING, turn_idx INT"
             )
+        import zlib
+
         qdf = self.spark.createDataFrame(rows, "query_id STRING, term STRING, qweight DOUBLE")
-        buckets = [
-            r["tb"]
-            for r in qdf.select(
-                term_bucket_expr(F.col("term"), self.config.term_buckets).alias("tb")
-            )
-            .distinct()
-            .collect()
-        ]
-        dt = self.doc_terms.where(F.col("tb").isin(buckets))
+        qterms = list({r[1] for r in rows})
+        buckets = sorted(
+            {zlib.crc32(t.encode()) % self.config.term_buckets for t in qterms}
+        )
+        dt = self.doc_terms.where(
+            F.col("tb").isin(buckets) & F.col("term").isin(qterms)
+        )
         joined = dt.join(F.broadcast(qdf), "term")
         if use_cosine:
             qnorms = qdf.groupBy("query_id").agg(
