@@ -1,0 +1,201 @@
+"""Command-line interface — the analog of the reference's three entry
+points (``pyproject.toml:15-18``: ``ingest-dataset``, ``reshard``,
+``search`` incl. the interactive console, ``src/splade_easy/console.py``).
+
+    python -m splade_easy_spark.cli build   --input tx.parquet --index ./idx
+    python -m splade_easy_spark.cli ingest  --config ingest.yaml [--resume]
+    python -m splade_easy_spark.cli search  --index ./idx --query "..." [--top-k 10]
+    python -m splade_easy_spark.cli console --index ./idx
+    python -m splade_easy_spark.cli stats   --index ./idx
+    python -m splade_easy_spark.cli delete  --index ./idx --doc-ids a#1,b#2
+    python -m splade_easy_spark.cli compact --index ./idx
+    python -m splade_easy_spark.cli reshard --index ./idx --segment-docs N --block-size N
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark(args):
+    from splade_easy_spark.session import get_spark
+
+    return get_spark("splade-easy-spark-cli", cores=args.cores)
+
+
+def cmd_build(args) -> int:
+    from splade_easy_spark.index import build_index
+
+    spark = _spark(args)
+    tx = spark.read.parquet(args.input)
+    res = build_index(spark, tx, args.index, resume=args.resume)
+    print(json.dumps(res.__dict__))
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    from splade_easy_spark.ingest import IngestConfig, ingest
+
+    spark = _spark(args)
+    out = ingest(spark, IngestConfig.from_yaml(args.config), resume=args.resume)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from splade_easy_spark.query import Searcher
+
+    spark = _spark(args)
+    s = Searcher(spark, args.index, mode=args.mode)
+    t0 = time.time()
+    rows = s.search(
+        args.query, top_k=args.top_k, use_cosine=args.cosine,
+        return_text=args.text, method=args.method,
+    ).collect()
+    elapsed = time.time() - t0
+    for r in rows:
+        d = r.asDict()
+        line = f"{d['score']:.4f}  {d['doc_id']}  [{d['role']}]"
+        if args.text:
+            line += "  " + (d.get("text") or "")[:120]
+        print(line)
+    print(f"-- {len(rows)} hits in {elapsed:.2f}s", file=sys.stderr)
+    return 0
+
+
+def cmd_console(args) -> int:
+    """Minimal interactive loop (reference console.py is Rich-based; this
+    stays dependency-free).  Commands: :topk N, :mode sql|wand, :cosine,
+    :stats, :quit."""
+    from splade_easy_spark.query import Searcher
+    from splade_easy_spark.index.maintenance import stats
+
+    spark = _spark(args)
+    s = Searcher(spark, args.index)
+    top_k, method, cosine = 5, "sql", False
+    print("splade-easy-spark console — :topk N, :mode sql|wand, :cosine, :stats, :quit")
+    while True:
+        try:
+            line = input("query> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            break
+        if not line:
+            continue
+        if line in (":quit", ":q"):
+            break
+        if line.startswith(":topk"):
+            top_k = int(line.split()[1])
+            continue
+        if line.startswith(":mode"):
+            method = line.split()[1]
+            continue
+        if line == ":cosine":
+            cosine = not cosine
+            print(f"cosine={cosine}")
+            continue
+        if line == ":stats":
+            print(json.dumps(stats(spark, args.index), indent=1))
+            continue
+        t0 = time.time()
+        rows = s.search(line, top_k=top_k, use_cosine=cosine, method=method, return_text=True).collect()
+        for r in rows:
+            print(f"{r['score']:.4f}  {r['doc_id']}  {(r['text'] or '')[:100]}")
+        print(f"-- {len(rows)} hits in {time.time() - t0:.2f}s")
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from splade_easy_spark.index.maintenance import stats
+
+    print(json.dumps(stats(_spark(args), args.index), indent=1))
+    return 0
+
+
+def cmd_delete(args) -> int:
+    from splade_easy_spark.index.maintenance import delete
+
+    n = delete(_spark(args), args.index, args.doc_ids.split(","))
+    print(json.dumps({"deleted": n}))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from splade_easy_spark.index.maintenance import compact
+
+    print(json.dumps(compact(_spark(args), args.index)))
+    return 0
+
+
+def cmd_reshard(args) -> int:
+    from splade_easy_spark.index.maintenance import reshard
+
+    out = reshard(
+        _spark(args),
+        args.index,
+        target_partitions=args.partitions,
+        segment_docs=args.segment_docs,
+        block_size=args.block_size,
+    )
+    print(json.dumps(out))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="splade_easy_spark")
+    p.add_argument("--cores", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    i = sub.add_parser("ingest")
+    i.add_argument("--config", required=True)
+    i.add_argument("--resume", action="store_true")
+    i.set_defaults(fn=cmd_ingest)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--top-k", type=int, default=10)
+    s.add_argument("--cosine", action="store_true")
+    s.add_argument("--text", action="store_true")
+    s.add_argument("--mode", default="disk", choices=["disk", "memory"])
+    s.add_argument("--method", default="sql", choices=["sql", "wand"])
+    s.set_defaults(fn=cmd_search)
+
+    c = sub.add_parser("console")
+    c.add_argument("--index", required=True)
+    c.set_defaults(fn=cmd_console)
+
+    st = sub.add_parser("stats")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
+
+    d = sub.add_parser("delete")
+    d.add_argument("--index", required=True)
+    d.add_argument("--doc-ids", required=True)
+    d.set_defaults(fn=cmd_delete)
+
+    co = sub.add_parser("compact")
+    co.add_argument("--index", required=True)
+    co.set_defaults(fn=cmd_compact)
+
+    r = sub.add_parser("reshard")
+    r.add_argument("--index", required=True)
+    r.add_argument("--partitions", type=int, default=None)
+    r.add_argument("--segment-docs", type=int, default=None)
+    r.add_argument("--block-size", type=int, default=None)
+    r.set_defaults(fn=cmd_reshard)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
