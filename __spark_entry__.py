@@ -244,15 +244,8 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_minhash_sigs(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    sig = d.select(
-        "doc_id",
-        dedup.minhash_signature(
-            dedup.word_shingles(F.col("text"), SHINGLE_K), NUM_HASHES
-        ).alias("sig"),
-    ).where(F.size("sig") > 0)
-    cols = [F.element_at("sig", j + 1).alias(f"h{j:02d}") for j in range(NUM_HASHES)]
-    return sig.select("doc_id", *cols)
+    out = dedup.minhash_signatures(_docs(spark, sf_dir), shingle_k=SHINGLE_K, num_hashes=NUM_HASHES)
+    return out.withColumnRenamed("id", "doc_id")
 
 
 def q_lsh_candidates(spark, sf_dir):

@@ -24,18 +24,17 @@ from splade_easy_spark.query.searcher import analyze_query
 
 def doc_term_tf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 analyzer: AnalyzerConfig | None = None) -> DataFrame:
-    """(id, doc_len, term, tf) with tf computed inside the row (no
-    token-grain shuffle) — same kernel as builder._term_tf."""
-    toks = tokenize(F.col(text_col), analyzer)
-    tf_structs = F.transform(
-        F.array_distinct(toks),
-        lambda t: F.struct(t.alias("term"), F.size(F.filter(toks, lambda x: x == t)).alias("tf")),
-    )
-    return docs.select(
+    """(id, doc_len, term, tf): JVM tokenize + Arrow-batched pandas count
+    kernel, fully map-side — same kernel as the index builder
+    (functions.text.term_tf_frame)."""
+    from splade_easy_spark.functions.text import term_tf_frame
+
+    base = docs.select(
         F.col(id_col).alias("id"),
-        F.size(toks).alias("doc_len"),
-        F.explode(tf_structs).alias("e"),
-    ).select("id", "doc_len", F.col("e.term").alias("term"), F.col("e.tf").alias("tf"))
+        F.size(tokenize(F.col(text_col), analyzer)).alias("doc_len"),
+        F.col(text_col).alias("_text"),
+    )
+    return term_tf_frame(base, ["id", "doc_len"], "_text", analyzer)
 
 
 def bm25_weights(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",

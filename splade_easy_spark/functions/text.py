@@ -11,7 +11,10 @@ predicate-pushed) at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from splade_easy_spark.config import AnalyzerConfig
@@ -32,6 +35,48 @@ def tokenize(col: Column | str, analyzer: AnalyzerConfig | None = None) -> Colum
     if lo > 1 or hi < 10_000:
         toks = F.filter(toks, lambda t: (F.length(t) >= lo) & (F.length(t) <= hi))
     return toks
+
+
+def term_tf_frame(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str = "text",
+    analyzer: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """``(*id_cols, term, tf)`` per-document term frequencies, computed
+    entirely map-side.
+
+    Tokenization stays a JVM Catalyst expression (``tokenize``); the
+    count-per-(doc, term) step is an Arrow-batched ``mapInPandas`` kernel
+    (pandas ``explode`` + ``groupby`` — vectorized C).  Measured against the
+    alternatives on a 98k-turn corpus: 6.3s vs 8.3s for
+    ``explode→groupBy`` (which also pays a token-grain exchange — the
+    shuffle this design must avoid at 10^12 turns) and 30s for per-row
+    array HOFs (O(distinct·len) comparisons per row).  Docs with no tokens
+    produce no rows (BM25 ignores them; doc_len is carried separately)."""
+    analyzer = analyzer or AnalyzerConfig()
+    toks = tokenize(F.col(text_col), analyzer)
+    src_schema = df.select(*id_cols).schema
+    out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src_schema.fields)
+    out_schema = f"{out_fields}, term STRING, tf INT"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = pdf.explode("_toks").dropna(subset=["_toks"])
+            if len(e) == 0:
+                continue
+            g = (
+                e.groupby(id_cols + ["_toks"], sort=False, observed=True)
+                .size()
+                .reset_index(name="tf")
+                .rename(columns={"_toks": "term"})
+            )
+            g["tf"] = g["tf"].astype("int32")
+            yield g[id_cols + ["term", "tf"]]
+
+    return df.select(*id_cols, toks.alias("_toks")).mapInPandas(kernel, schema=out_schema)
 
 
 def doc_id_expr(conv_id: Column | str = "conv_id", turn_idx: Column | str = "turn_idx") -> Column:

@@ -8,8 +8,8 @@ acknowledged bottleneck) with three bulk Spark jobs:
 
   stage docs:     tokenize (JVM regexp, map-side) + deterministic doc_int
                   assignment (one range shuffle) → docs table
-  stage stats:    per-row tf maps (NO token-level shuffle — tf is computed
-                  inside the row with array HOFs) → term DF aggregation
+  stage stats:    map-side per-doc tf (JVM tokenize + Arrow pandas count
+                  kernel — NO token-grain shuffle) → term DF aggregation
                   (the single term-keyed shuffle) → term_stats + corpus_stats
   stage postings: tf rows ⨝ term_stats (broadcast when small) → BM25
                   weights → salted repartition by term → applyInPandas
@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from splade_easy_spark.config import IndexConfig
 from splade_easy_spark.functions.bm25 import bm25_weight_expr, idf_expr
-from splade_easy_spark.functions.text import doc_id_expr, tokenize
+from splade_easy_spark.functions.text import doc_id_expr, term_tf_frame, tokenize
 from splade_easy_spark.index.catalog import IndexCatalog, term_bucket_expr
 from splade_easy_spark.index.docids import assign_doc_ints
 from splade_easy_spark.index.postings import pack_postings
@@ -55,21 +55,10 @@ class BuildResult:
 
 
 def _term_tf(docs: DataFrame, config: IndexConfig) -> DataFrame:
-    """(doc_int, doc_len, term, tf) — tf computed *inside the row* with
-    array HOFs (array_distinct + filter/size), so no shuffle touches
-    token-level rows; the exploded output is already at (doc, term) grain."""
-    toks = tokenize(F.col("text"), config.analyzer)
-    tf_structs = F.transform(
-        F.array_distinct(toks),
-        lambda t: F.struct(
-            t.alias("term"),
-            F.size(F.filter(toks, lambda x: x == t)).alias("tf"),
-        ),
-    )
-    return (
-        docs.select("doc_int", "doc_len", F.explode(tf_structs).alias("e"))
-        .select("doc_int", "doc_len", F.col("e.term").alias("term"), F.col("e.tf").alias("tf"))
-    )
+    """(doc_int, doc_len, term, tf) — JVM tokenize + Arrow-batched pandas
+    count kernel, fully map-side (no token-grain shuffle); see
+    functions.text.term_tf_frame for the measured rationale."""
+    return term_tf_frame(docs, ["doc_int", "doc_len"], "text", config.analyzer)
 
 
 def _stage_docs(spark: SparkSession, transcripts: DataFrame, cat: IndexCatalog) -> dict:

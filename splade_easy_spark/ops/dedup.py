@@ -69,6 +69,29 @@ def minhash_signature(
     return F.array(*[min_for_seed(j) for j in range(num_hashes)])
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    hash_fn=md5_hash64,
+) -> DataFrame:
+    """(id, h00..hNN) minhash signature table.
+
+    Plan shape matters here: shingles are exploded ONCE and the N seed
+    hashes are N ``min`` aggregates over that single pass.  The per-row
+    ``minhash_signature`` Column form duplicates the whole shingle-
+    generation subtree N times, which blows up codegen (past the JIT method
+    limit → interpreted fallback, ~30× slower at corpus scale)."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("s"),
+    )
+    aggs = [F.min(hash_fn(F.col("s"), j)).alias(f"h{j:02d}") for j in range(num_hashes)]
+    return ex.groupBy("id").agg(*aggs)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -79,16 +102,11 @@ def minhash_lsh_candidates(
     hash_fn=md5_hash64,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that collide in ≥1 LSH
-    band.  Plan: map-side signature → explode bands (rows × bands) →
-    shuffle on uniform bucket key → within-bucket pair join."""
+    band.  Plan: explode shingles → one-pass N-way min agg (signatures) →
+    explode bands (rows × bands) → shuffle on uniform bucket key →
+    within-bucket pair join."""
     rows = bands and num_hashes // bands
-    sig = (
-        df.select(
-            F.col(id_col).alias("id"),
-            minhash_signature(word_shingles(F.col(text_col), shingle_k), num_hashes, hash_fn).alias("sig"),
-        )
-        .where(F.size("sig") > 0)
-    )
+    sig = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes, hash_fn)
     banded = sig.select(
         "id",
         F.explode(
@@ -100,7 +118,7 @@ def minhash_lsh_candidates(
                             F.concat_ws(
                                 ",",
                                 F.lit(b),
-                                *[F.element_at("sig", b * rows + r + 1).cast("string") for r in range(rows)],
+                                *[F.col(f"h{b * rows + r:02d}").cast("string") for r in range(rows)],
                             )
                         ).alias("bucket"),
                     )
