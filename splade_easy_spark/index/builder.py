@@ -169,6 +169,11 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog) -> dict:
         )
         .withColumn("tb", term_bucket_expr(F.col("term"), cfg.term_buckets))
     )
+    # consumed twice (norms agg + doc_terms write) — persist to avoid
+    # re-running tokenize+tf+join; DISK spill-safe for large corpora
+    from pyspark import StorageLevel
+
+    weighted = weighted.persist(StorageLevel.MEMORY_AND_DISK)
 
     norms = weighted.groupBy("doc_int").agg(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
@@ -212,6 +217,7 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog) -> dict:
         .sortWithinPartitions("term", "block_id")
     )
     cat.write(packed, "postings", partition_by=["seg"])
+    weighted.unpersist()
 
     n_postings = cat.table_rows("doc_terms")
     n_blocks = cat.table_rows("postings")
