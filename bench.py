@@ -47,8 +47,10 @@ def main() -> None:
     spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 16))
     spark.sparkContext.setLogLevel("ERROR")
 
-    # ~36 turns/conv avg → 100k turns at sf0.1
-    num_convs = max(30, int(28000 * sf))
+    # ~36 turns/conv avg → 100k turns at sf0.1; SPARK_GRAFT_CONVS overrides
+    # (the scaling-evidence harness uses 1M turns so parallel work dominates
+    # fixed per-job overhead)
+    num_convs = int(os.environ.get("SPARK_GRAFT_CONVS", max(30, int(28000 * sf))))
     cfg = IndexConfig(
         build_partitions=max(cpus, 16),
         term_buckets=64,
@@ -69,11 +71,12 @@ def main() -> None:
         extra["build_turns_per_sec"] = round(result.n_docs / timings["build_index"], 1)
 
         searcher = Searcher(spark, idx_dir, cfg)
-        qset = generate_query_set(50)
+        qset = generate_query_set(int(os.environ.get("SPARK_GRAFT_QUERIES", "50")))
 
         t0 = time.time()
         n = searcher.search_many(qset, top_k=10).count()
         timings["search_batch50"] = round(time.time() - t0, 3)
+        extra["queries_in_batch"] = len(qset)
         extra["batch_hits"] = n
 
         q1 = qset[0]["text"]

@@ -1,5 +1,6 @@
 from splade_easy_spark.index.builder import build_index
 from splade_easy_spark.index.manifest import Manifest
 from splade_easy_spark.index.catalog import IndexCatalog
+from splade_easy_spark.index.vector_builder import build_vector_index
 
-__all__ = ["build_index", "Manifest", "IndexCatalog"]
+__all__ = ["build_index", "build_vector_index", "Manifest", "IndexCatalog"]

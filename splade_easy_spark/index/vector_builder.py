@@ -1,0 +1,138 @@
+"""Vector-index build: ingest PRE-WEIGHTED sparse vectors — the reference's
+native input shape.
+
+splade-easy's write path takes ``Document(doc_id, text, metadata,
+token_ids uint32[], weights float32[])`` (``src/splade_easy/index.py:24-30``)
+where the weights come from an external encoder; the store itself never
+derives them.  This module is that path for our engine: a DataFrame of
+``(doc_id STRING, text STRING?, metadata MAP<STRING,STRING>?,
+token_ids ARRAY<INT>, weights ARRAY<FLOAT>)`` becomes the same two index
+layouts the BM25 builder produces, so the Searcher (SQL and WAND paths,
+both score modes) works unchanged — terms are the stringified token ids.
+
+Vector normalization matches ``ensure_sorted_splade_vector``
+(``src/splade_easy/scoring.py:79-127``): duplicate token ids keep the MAX
+weight; ordering is irrelevant here (the build sorts structurally).
+Searching with a raw query vector goes through ``vector_query_terms``.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splade_easy_spark.config import IndexConfig
+from splade_easy_spark.index.builder import POSTINGS_SCHEMA, _pack_group
+from splade_easy_spark.index.catalog import IndexCatalog, term_bucket_expr
+from splade_easy_spark.index.docids import assign_doc_ints
+
+
+def vector_query_terms(token_ids, weights) -> list[tuple[str, float]]:
+    """Raw sparse query vector → engine query terms; dedup keeps max
+    weight (``scoring.py:102-114``)."""
+    out: dict[str, float] = {}
+    for t, w in zip(token_ids, weights):
+        k = str(int(t))
+        out[k] = max(out.get(k, float(w)), float(w))
+    return sorted(out.items())
+
+
+def build_vector_index(
+    spark: SparkSession,
+    documents: DataFrame,
+    index_dir: str,
+    config: IndexConfig | None = None,
+) -> dict:
+    """Build both index layouts from pre-weighted sparse vectors."""
+    cat = IndexCatalog(index_dir, config or IndexConfig())
+    cfg = cat.config
+    man = cat.manifest
+    identity = cfg.identity()
+    identity["mode"] = "vector"
+    man.set_identity(identity)
+    t0 = time.time()
+
+    cols = documents.columns
+    base = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (F.col("text") if "text" in cols else F.lit(None).cast("string")).alias("text"),
+        (
+            F.col("metadata")
+            if "metadata" in cols
+            else F.lit(None).cast("map<string,string>")
+        ).alias("metadata"),
+        F.col("token_ids"),
+        F.col("weights"),
+        F.size("token_ids").alias("doc_len"),
+    )
+    docs = assign_doc_ints(base, "doc_id", cfg.build_partitions)
+    cat.write(docs.drop("token_ids", "weights"), "docs")
+    man.record_stage("docs", {"docs": "docs"}, {"rows": cat.table_rows("docs")})
+
+    docs_v = docs.select("doc_int", F.explode(F.arrays_zip("token_ids", "weights")).alias("e")).select(
+        "doc_int",
+        F.col("e.token_ids").cast("string").alias("term"),
+        F.col("e.weights").cast("double").alias("weight"),
+    )
+    # dedup keeping max weight — the reference's vector invariant
+    doc_terms_raw = docs_v.groupBy("doc_int", "term").agg(F.max("weight").alias("weight"))
+
+    tstats = doc_terms_raw.groupBy("term").agg(
+        F.count("*").alias("df"), F.max("weight").alias("max_weight")
+    ).withColumn("tb", term_bucket_expr(F.col("term"), cfg.term_buckets))
+    cat.write(tstats, "term_stats")
+    agg = docs.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"), F.sum("doc_len").alias("t")).collect()[0]
+    stats_df = spark.createDataFrame(
+        [(int(agg["n"]), float(agg["avgdl"] or 0.0), int(agg["t"] or 0), cat.table_rows("term_stats"))],
+        "n_docs LONG, avgdl DOUBLE, total_tokens LONG, n_terms LONG",
+    )
+    cat.write(stats_df, "corpus_stats")
+    man.record_stage(
+        "stats",
+        {"term_stats": "term_stats", "corpus_stats": "corpus_stats"},
+        {"n_docs": int(agg["n"])},
+    )
+
+    norms = doc_terms_raw.groupBy("doc_int").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
+    )
+    cat.write(norms, "doc_norms")
+    norms = cat.read(spark, "doc_norms")
+    doc_terms = (
+        doc_terms_raw.join(norms, "doc_int")
+        .withColumn("tb", term_bucket_expr(F.col("term"), cfg.term_buckets))
+        .select("tb", "term", "doc_int", F.lit(1).alias("tf"), "weight", "norm")
+    )
+    cat.write(
+        doc_terms.repartition(cfg.build_partitions, "tb").sortWithinPartitions("term", "doc_int"),
+        "doc_terms",
+        partition_by=["tb"],
+    )
+    dt = spark.read.parquet(cat.table_dir("doc_terms"))
+    packed = (
+        dt.withColumn("seg", (F.col("doc_int") / F.lit(cfg.segment_docs)).cast("long"))
+        .withColumn("block_size", F.lit(cfg.block_size))
+        .groupBy("seg", "term")
+        .applyInPandas(_pack_group, schema=POSTINGS_SCHEMA)
+        .sortWithinPartitions("term", "block_id")
+    )
+    cat.write(packed, "postings", partition_by=["seg"])
+    man.record_stage(
+        "postings",
+        {"doc_terms": "doc_terms", "postings": "postings", "doc_norms": "doc_norms"},
+        {"n_postings": cat.table_rows("doc_terms")},
+    )
+    man.data["layout"] = {
+        "segment_docs": cfg.segment_docs,
+        "block_size": cfg.block_size,
+        "term_buckets": cfg.term_buckets,
+        "build_partitions": cfg.build_partitions,
+    }
+    man.save()
+    return {
+        "n_docs": int(agg["n"]),
+        "elapsed_sec": round(time.time() - t0, 3),
+        "index_dir": str(index_dir),
+    }

@@ -149,8 +149,14 @@ class Searcher:
         return scores.where(F.col("score") > 0)  # cf. retriever.py:186
 
     def _attach_docs(self, topk: DataFrame, return_text: bool) -> DataFrame:
-        cols = ["doc_id", "score", "conv_id", "turn_idx", "role", "tool", "ts"]
-        if return_text:
+        # transcript-mode docs carry (conv_id..ts); vector-mode docs carry
+        # (metadata) — project whatever exists (reference SearchResult shape:
+        # doc_id, score, metadata, text?, retriever.py:20-25)
+        available = set(self.docs.columns)
+        cols = ["doc_id", "score"] + [
+            c for c in ["conv_id", "turn_idx", "role", "tool", "ts", "metadata"] if c in available
+        ]
+        if return_text and "text" in available:
             cols.append("text")
         return (
             topk.join(self.docs, "doc_int")

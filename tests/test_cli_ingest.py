@@ -1,0 +1,91 @@
+"""CLI + config-driven ingest tests (reference entry points S9/S10,
+``pyproject.toml:15-18``, ``src/splade_easy/ingest/datasets.py``)."""
+
+import json
+
+import pytest
+import yaml
+from pyspark.sql import functions as F
+
+from splade_easy_spark import cli
+from splade_easy_spark.config import IndexConfig
+from splade_easy_spark.data import generate_transcripts
+from splade_easy_spark.ingest import IngestConfig, ingest, to_transcripts
+
+
+def test_cli_build_search_stats_delete_compact(spark, tmp_path, capsys):
+    src = str(tmp_path / "tx")
+    idx = str(tmp_path / "idx")
+    generate_transcripts(spark, num_convs=5, seed=23).write.parquet(src)
+
+    assert cli.main(["build", "--input", src, "--index", idx]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["n_docs"] > 0
+
+    assert cli.main(["search", "--index", idx, "--query", "baba0", "--top-k", "3"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) <= 3 and all("conv_" in l for l in out)
+    victim = out[0].split()[1]
+
+    assert cli.main(["stats", "--index", idx]) == 0
+    st = json.loads(capsys.readouterr().out)
+    assert st["num_docs"] == built["n_docs"]
+
+    assert cli.main(["delete", "--index", idx, "--doc-ids", victim]) == 0
+    assert json.loads(capsys.readouterr().out)["deleted"] == 1
+
+    assert cli.main(["compact", "--index", idx]) == 0
+    assert json.loads(capsys.readouterr().out)["removed"] == 1
+
+    assert cli.main(["reshard", "--index", idx, "--segment-docs", "64", "--block-size", "16"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["after"]["num_docs"] == built["n_docs"] - 1
+
+
+def test_ingest_from_parquet_with_synth_ids(spark, tmp_path, capsys):
+    """Arbitrary table → transcripts projection: synthesized content-hash
+    doc ids (datasets.py:38 analog), text-column concat, resume no-op."""
+    src = str(tmp_path / "raw")
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [("alpha beta", "x"), ("gamma delta", "y"), ("epsilon zeta", "z")],
+        "body STRING, tag STRING",
+    ).write.parquet(src)
+    cfg_path = tmp_path / "ingest.yaml"
+    cfg_path.write_text(
+        yaml.safe_dump(
+            {
+                "input_path": src,
+                "index_path": idx,
+                "text_columns": ["body", "tag"],
+                "separator": " | ",
+                "metadata_columns": ["tag"],
+            }
+        )
+    )
+    out = ingest(spark, IngestConfig.from_yaml(str(cfg_path)))
+    assert out["ingested"] == 3 and out["mode"] == "build"
+
+    docs = spark.read.parquet(f"{idx}/docs")
+    row = docs.where(F.col("text").contains("alpha")).collect()[0]
+    assert row["text"] == "alpha beta | x"
+    assert row["conv_id"].startswith("doc_")
+
+    # resume with same input = no-op
+    out2 = ingest(spark, IngestConfig.from_yaml(str(cfg_path)), resume=True)
+    assert out2["mode"] == "resume-noop" and out2["ingested"] == 0
+
+
+def test_ingest_resume_appends_only_new(spark, tmp_path):
+    src1, src2 = str(tmp_path / "r1"), str(tmp_path / "r2")
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame([("one", 1), ("two", 2)], "body STRING, k INT").write.parquet(src1)
+    spark.createDataFrame(
+        [("one", 1), ("two", 2), ("three", 3)], "body STRING, k INT"
+    ).write.parquet(src2)
+    c1 = IngestConfig(input_path=src1, index_path=idx, text_columns=["body"], id_column="k")
+    c2 = IngestConfig(input_path=src2, index_path=idx, text_columns=["body"], id_column="k")
+    assert ingest(spark, c1)["ingested"] == 2
+    out = ingest(spark, c2, resume=True)
+    assert out["mode"] == "resume-append" and out["ingested"] == 1
+    assert spark.read.parquet(f"{idx}/docs").count() == 3

@@ -23,14 +23,20 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def run_bench(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_CONVS=os.environ.get("SCALING_CONVS", "28000"),
+        SPARK_GRAFT_QUERIES="200",
+    )
     t0 = time.time()
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         env=env,
         capture_output=True,
         text=True,
-        timeout=3600,
+        timeout=5400,
         cwd=REPO,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
