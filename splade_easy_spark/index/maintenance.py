@@ -174,6 +174,11 @@ def stats(spark: SparkSession, index_dir: str) -> dict:
     corpus = cat.corpus_stats(spark)
     deleted = cat.read_deleted(spark)
     n_deleted = deleted.select("doc_id").distinct().count() if deleted is not None else 0
+    # live count from the physical docs table (parquet footers, no job) —
+    # corpus_stats.n_docs is the FROZEN weighting statistic and diverges
+    # after compaction/appends (reference analog: num_docs decremented on
+    # delete while vectors stay fixed, src/splade_easy/index.py:218)
+    n_physical = cat.table_rows("docs")
     tables = {}
     for t in ["docs", "doc_terms", "postings", "doc_norms", "term_stats"]:
         p = Path(cat.table_dir(t))
@@ -183,7 +188,7 @@ def stats(spark: SparkSession, index_dir: str) -> dict:
             "mb": round(sum(f.stat().st_size for f in files) / 1e6, 3),
         }
     return {
-        "num_docs": int(corpus["n_docs"]) - n_deleted,
+        "num_docs": n_physical - n_deleted,
         "num_docs_built": int(corpus["n_docs"]),
         "num_deleted": n_deleted,
         "num_terms": int(corpus["n_terms"]),
