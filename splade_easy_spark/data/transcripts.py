@@ -77,7 +77,14 @@ def _zipf_probs(size: int, s: float = 1.07) -> np.ndarray:
 _EPOCH = np.datetime64("2025-01-01T00:00:00")
 
 
-def _gen_conv(conv_idx: int, seed: int, vocab: np.ndarray, probs: np.ndarray) -> dict:
+def _zipf_sample(rng: np.random.Generator, cumprobs: np.ndarray, n: int) -> np.ndarray:
+    """Inverse-CDF sampling: O(n log V) instead of rng.choice(p=...)'s
+    O(n·V) alias setup per call — the generator's hot path at 10^6+ turns."""
+    idx = np.searchsorted(cumprobs, rng.random(n), side="right")
+    return np.minimum(idx, len(cumprobs) - 1)
+
+
+def _gen_conv(conv_idx: int, seed: int, vocab: np.ndarray, cumprobs: np.ndarray) -> dict:
     rng = np.random.default_rng(np.uint64(seed * 1_000_003 + conv_idx))
     n_turns = int(rng.integers(8, 65))
     conv_id = f"conv_{conv_idx:08d}"
@@ -93,7 +100,7 @@ def _gen_conv(conv_idx: int, seed: int, vocab: np.ndarray, probs: np.ndarray) ->
             text = ""  # empty-turn edge case
         else:
             n_tok = int(rng.integers(5, 201))
-            words = vocab[rng.choice(len(vocab), size=n_tok, p=probs)]
+            words = vocab[_zipf_sample(rng, cumprobs, n_tok)]
             if edge < 0.06:  # repeated-token turn
                 words = np.repeat(words[: max(1, n_tok // 4)], 4)[:n_tok]
             text = " ".join(words.tolist())
@@ -120,7 +127,7 @@ def generate_transcripts(
     if num_partitions is None:
         num_partitions = min(max(1, num_convs // 50), 64)
     vocab = np.array(make_vocab(), dtype=object)
-    probs = _zipf_probs(len(vocab))
+    cumprobs = np.cumsum(_zipf_probs(len(vocab)))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -128,7 +135,7 @@ def generate_transcripts(
                 "conv_id": [], "turn_idx": [], "role": [], "text": [], "tool": [], "ts": [],
             }
             for conv_idx in pdf["id"].to_numpy():
-                rows = _gen_conv(int(conv_idx), seed, vocab, probs)
+                rows = _gen_conv(int(conv_idx), seed, vocab, cumprobs)
                 for k in out:
                     out[k].extend(rows[k])
             yield pd.DataFrame(out)

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from splade_easy_spark.config import IndexConfig
 from splade_easy_spark.functions.bm25 import bm25_weight_expr, idf_expr
 from splade_easy_spark.functions.text import doc_id_expr, tokenize
-from splade_easy_spark.index.builder import POSTINGS_SCHEMA, _pack_group, _term_tf
+from splade_easy_spark.index.builder import _term_tf, pack_doc_terms
 from splade_easy_spark.index.catalog import IndexCatalog, term_bucket_expr
 from splade_easy_spark.index.docids import assign_doc_ints
 
@@ -96,12 +96,7 @@ def append_documents(
     ).parquet(cat.table_dir("doc_terms"))
 
     new_dt = spark.read.parquet(cat.table_dir("doc_terms")).where(F.col("doc_int") >= next_int)
-    packed = (
-        new_dt.withColumn("seg", (F.col("doc_int") / F.lit(cfg.segment_docs)).cast("long"))
-        .withColumn("block_size", F.lit(cfg.block_size))
-        .groupBy("seg", "term")
-        .applyInPandas(_pack_group, schema=POSTINGS_SCHEMA)
-    )
+    packed = pack_doc_terms(new_dt, cfg.segment_docs, cfg.block_size)
     packed.write.mode("append").partitionBy("seg").parquet(cat.table_dir("postings"))
 
     # register batch-new terms so query-time idf exists for them

@@ -77,10 +77,16 @@ def _stage_docs(spark: SparkSession, transcripts: DataFrame, cat: IndexCatalog) 
     return {"rows": cat.table_rows("docs")}
 
 
-def _stage_stats(spark: SparkSession, cat: IndexCatalog) -> dict:
+def _stage_stats(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = None) -> dict:
     cfg = cat.config
     docs = cat.read(spark, "docs")
     term_tf = _term_tf(docs, cfg)
+    if ctx is not None:
+        # one tokenize+tf pass serves both stats and postings stages
+        from pyspark import StorageLevel
+
+        term_tf = term_tf.persist(StorageLevel.MEMORY_AND_DISK)
+        ctx["term_tf"] = term_tf
     # DF per term (term_tf is one row per (doc, term), so count(*) == df)
     # plus max tf — used later for a per-term score upper bound.
     tstats = term_tf.groupBy("term").agg(
@@ -105,27 +111,83 @@ def _stage_stats(spark: SparkSession, cat: IndexCatalog) -> dict:
     return {"n_docs": n_docs, "avgdl": avgdl, "n_terms": n_terms}
 
 
-def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    seg = int(pdf["seg"].iloc[0])
-    term = pdf["term"].iloc[0]
-    bs = int(pdf["block_size"].iloc[0])
-    blocks = pack_postings(pdf["doc_int"].to_numpy(), pdf["weight"].to_numpy(), bs)
-    return pd.DataFrame(
-        {
-            "seg": seg,
-            "term": term,
-            "block_id": [b["block_id"] for b in blocks],
-            "n": [b["n"] for b in blocks],
-            "doc_min": [b["doc_min"] for b in blocks],
-            "doc_max": [b["doc_max"] for b in blocks],
-            "max_weight": [b["max_weight"] for b in blocks],
-            "docs": [b["docs"] for b in blocks],
-            "wts": [b["wts"] for b in blocks],
-        }
+def _pack_frame(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """Pack a frame of (seg, term, doc_int, weight) rows that is SORTED by
+    (seg, term, doc_int) into block records — group boundaries found with
+    NumPy change-point detection, one ``pack_postings`` call per group."""
+    import numpy as np
+
+    seg = pdf["seg"].to_numpy()
+    term = pdf["term"].to_numpy()
+    doc = pdf["doc_int"].to_numpy()
+    wt = pdf["weight"].to_numpy()
+    change = np.flatnonzero((seg[1:] != seg[:-1]) | (term[1:] != term[:-1])) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(pdf)]))
+    out: dict[str, list] = {k: [] for k in [
+        "seg", "term", "block_id", "n", "doc_min", "doc_max", "max_weight", "docs", "wts",
+    ]}
+    for s, e in zip(starts, ends):
+        for b in pack_postings(doc[s:e], wt[s:e], block_size):
+            out["seg"].append(int(seg[s]))
+            out["term"].append(term[s])
+            out["block_id"].append(b["block_id"])
+            out["n"].append(b["n"])
+            out["doc_min"].append(b["doc_min"])
+            out["doc_max"].append(b["doc_max"])
+            out["max_weight"].append(b["max_weight"])
+            out["docs"].append(b["docs"])
+            out["wts"].append(b["wts"])
+    return pd.DataFrame(out)
+
+
+def pack_doc_terms(dt: DataFrame, segment_docs: int, block_size: int) -> DataFrame:
+    """doc_terms → packed posting blocks via a STREAMING ``mapInPandas``
+    packer: rows are seg-colocated (repartition by seg) and sorted by
+    (seg, term, doc_int); the kernel splits each Arrow batch at group
+    boundaries and carries the trailing partial group into the next batch.
+
+    Replaces ``groupBy(seg, term).applyInPandas``: at 10^6 turns that is
+    ~310k pandas groups whose per-group machinery dominated the postings
+    stage (measured 179s → the pack itself is ~100µs/group); the streaming
+    packer pays per-batch, not per-group."""
+    with_seg = (
+        dt.select(
+            (F.col("doc_int") / F.lit(segment_docs)).cast("long").alias("seg"),
+            "term",
+            "doc_int",
+            "weight",
+        )
+        .repartition(F.col("seg"))
+        .sortWithinPartitions("seg", "term", "doc_int")
     )
 
+    def packer(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            seg = pdf["seg"].to_numpy()
+            term = pdf["term"].to_numpy()
+            change = (seg[1:] != seg[:-1]) | (term[1:] != term[:-1])
+            import numpy as np
 
-def _stage_postings(spark: SparkSession, cat: IndexCatalog) -> dict:
+            idx = np.flatnonzero(change) + 1
+            if len(idx) == 0:
+                carry = pdf  # whole batch is one (possibly continuing) group
+                continue
+            last_start = int(idx[-1])
+            complete, carry = pdf.iloc[:last_start], pdf.iloc[last_start:]
+            yield _pack_frame(complete, block_size)
+        if carry is not None and len(carry):
+            yield _pack_frame(carry, block_size)
+
+    return with_seg.mapInPandas(packer, schema=POSTINGS_SCHEMA)
+
+
+def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = None) -> dict:
     """Weighted postings in two layouts.
 
     1. ``doc_terms`` — exploded (tb, term, doc_int, tf, weight, norm),
@@ -153,7 +215,9 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog) -> dict:
     stats = cat.corpus_stats(spark)
     avgdl = stats["avgdl"] or 1.0
 
-    term_tf = _term_tf(docs, cfg)
+    term_tf = (ctx or {}).get("term_tf")
+    if term_tf is None:
+        term_tf = _term_tf(docs, cfg)
 
     # Hot-term detection for salting: terms whose df exceeds the configured
     # quantile (Zipfian head — roles/tool names by construction).
@@ -209,15 +273,13 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog) -> dict:
 
     dt = spark.read.parquet(cat.table_dir("doc_terms"))
 
-    packed = (
-        dt.withColumn("seg", (F.col("doc_int") / F.lit(cfg.segment_docs)).cast("long"))
-        .withColumn("block_size", F.lit(cfg.block_size))
-        .groupBy("seg", "term")
-        .applyInPandas(_pack_group, schema=POSTINGS_SCHEMA)
-        .sortWithinPartitions("term", "block_id")
+    packed = pack_doc_terms(dt, cfg.segment_docs, cfg.block_size).sortWithinPartitions(
+        "term", "block_id"
     )
     cat.write(packed, "postings", partition_by=["seg"])
     weighted.unpersist()
+    if ctx is not None and "term_tf" in ctx:
+        ctx.pop("term_tf").unpersist()
 
     n_postings = cat.table_rows("doc_terms")
     n_blocks = cat.table_rows("postings")
@@ -261,6 +323,7 @@ def build_index(
     man.set_identity(cat.config.identity())
     t0 = time.time()
     run, skipped = [], []
+    ctx: dict = {}
     for stage, fn in _STAGES.items():
         if resume and man.stage_complete(stage) and all(
             man.verify_table(t) for t in _STAGE_TABLES[stage]
@@ -271,7 +334,7 @@ def build_index(
         if stage == "docs":
             metrics = fn(spark, transcripts, cat)
         else:
-            metrics = fn(spark, cat)
+            metrics = fn(spark, cat, ctx)
         metrics["elapsed_sec"] = round(time.time() - s0, 3)
         man.record_stage(stage, {t: t for t in _STAGE_TABLES[stage]}, metrics)
         run.append(stage)

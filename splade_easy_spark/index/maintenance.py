@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from splade_easy_spark.config import IndexConfig
-from splade_easy_spark.index.builder import POSTINGS_SCHEMA, _pack_group
+from splade_easy_spark.index.builder import pack_doc_terms
 from splade_easy_spark.index.catalog import IndexCatalog
 
 
@@ -93,12 +93,8 @@ def compact(spark: SparkSession, index_dir: str, config: IndexConfig | None = No
     norms.write.parquet(cat.table_dir("doc_norms") + "__rewrite")
 
     dt_new = spark.read.parquet(cat.table_dir("doc_terms") + "__rewrite")
-    packed = (
-        dt_new.withColumn("seg", (F.col("doc_int") / F.lit(cfg.segment_docs)).cast("long"))
-        .withColumn("block_size", F.lit(cfg.block_size))
-        .groupBy("seg", "term")
-        .applyInPandas(_pack_group, schema=POSTINGS_SCHEMA)
-        .sortWithinPartitions("term", "block_id")
+    packed = pack_doc_terms(dt_new, cfg.segment_docs, cfg.block_size).sortWithinPartitions(
+        "term", "block_id"
     )
     packed.write.partitionBy("seg").parquet(cat.table_dir("postings") + "__rewrite")
 
@@ -141,13 +137,7 @@ def reshard(
         cat.table_dir("doc_terms") + "__rewrite"
     )
     dt_new = spark.read.parquet(cat.table_dir("doc_terms") + "__rewrite")
-    packed = (
-        dt_new.withColumn("seg", (F.col("doc_int") / F.lit(seg_docs)).cast("long"))
-        .withColumn("block_size", F.lit(bs))
-        .groupBy("seg", "term")
-        .applyInPandas(_pack_group, schema=POSTINGS_SCHEMA)
-        .sortWithinPartitions("term", "block_id")
-    )
+    packed = pack_doc_terms(dt_new, seg_docs, bs).sortWithinPartitions("term", "block_id")
     packed.write.partitionBy("seg").parquet(cat.table_dir("postings") + "__rewrite")
     for t in ["doc_terms", "postings"]:
         _swap_in(cat, t)

@@ -44,19 +44,26 @@ def _hash_file(path: Path, chunk: int = 1 << 20) -> str:
 
 def file_lineage(table_dir: Path) -> list[dict]:
     """Per-file lineage for every parquet data file under ``table_dir``
-    (recursive — hive-partitioned tables have ``tb=.../part-*.parquet``)."""
-    entries = []
-    for p in sorted(table_dir.rglob("*.parquet")):
+    (recursive — hive-partitioned tables have ``tb=.../part-*.parquet``).
+    Hashed with a thread pool: sha256 releases the GIL, so lineage cost
+    scales with cores instead of being a serial commit tail."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    files = sorted(table_dir.rglob("*.parquet"))
+
+    def entry(p: Path) -> dict:
         meta = pq.read_metadata(p)
-        entries.append(
-            {
-                "file": str(p.relative_to(table_dir)),
-                "bytes": p.stat().st_size,
-                "rows": meta.num_rows,
-                "sha256": _hash_file(p),
-            }
-        )
-    return entries
+        return {
+            "file": str(p.relative_to(table_dir)),
+            "bytes": p.stat().st_size,
+            "rows": meta.num_rows,
+            "sha256": _hash_file(p),
+        }
+
+    if len(files) <= 2:
+        return [entry(p) for p in files]
+    with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+        return list(ex.map(entry, files))
 
 
 class Manifest:

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from splade_easy_spark.config import IndexConfig
-from splade_easy_spark.index.builder import POSTINGS_SCHEMA, _pack_group
+from splade_easy_spark.index.builder import pack_doc_terms
 from splade_easy_spark.index.catalog import IndexCatalog, term_bucket_expr
 from splade_easy_spark.index.docids import assign_doc_ints
 
@@ -111,12 +111,8 @@ def build_vector_index(
         partition_by=["tb"],
     )
     dt = spark.read.parquet(cat.table_dir("doc_terms"))
-    packed = (
-        dt.withColumn("seg", (F.col("doc_int") / F.lit(cfg.segment_docs)).cast("long"))
-        .withColumn("block_size", F.lit(cfg.block_size))
-        .groupBy("seg", "term")
-        .applyInPandas(_pack_group, schema=POSTINGS_SCHEMA)
-        .sortWithinPartitions("term", "block_id")
+    packed = pack_doc_terms(dt, cfg.segment_docs, cfg.block_size).sortWithinPartitions(
+        "term", "block_id"
     )
     cat.write(packed, "postings", partition_by=["seg"])
     man.record_stage(
