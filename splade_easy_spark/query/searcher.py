@@ -275,6 +275,29 @@ class Searcher:
             scores = scores.join(
                 F.broadcast(deleted.select("doc_int")), "doc_int", "left_anti"
             )
+
+        # Partial per-partition top-k before the global window — the batch
+        # analog of TakeOrderedAndProject: the final sort then sees at most
+        # (partitions × k) rows per query instead of every scored doc (a hot
+        # query term scores a large fraction of the corpus).
+        import pandas as pd
+
+        def partial_topk(batches):
+            parts = []
+            for pdf in batches:
+                if len(pdf):
+                    parts.append(pdf)
+            if not parts:
+                return
+            allp = pd.concat(parts, ignore_index=True)
+            allp = allp.sort_values(
+                ["query_id", "score", "doc_int"], ascending=[True, False, True]
+            )
+            yield allp.groupby("query_id", sort=False).head(top_k)
+
+        scores = scores.mapInPandas(
+            partial_topk, schema="query_id STRING, doc_int LONG, score DOUBLE"
+        )
         from pyspark.sql import Window
 
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_int"))
