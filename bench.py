@@ -61,9 +61,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict = {"cpus": cpus, "num_convs": num_convs}
 
+    tx_dir = tempfile.mkdtemp(prefix="bench_tx_")
     try:
+        # Materialize the synthetic input UNTIMED: the engine's contract is
+        # an existing Iceberg/Parquet transcript table — input synthesis is
+        # not build work.
+        generate_transcripts(spark, num_convs=num_convs, seed=42).write.mode(
+            "overwrite"
+        ).parquet(tx_dir)
+        tx = spark.read.parquet(tx_dir)
+
         t0 = time.time()
-        tx = generate_transcripts(spark, num_convs=num_convs, seed=42)
         result = build_index(spark, tx, idx_dir, cfg)
         timings["build_index"] = round(time.time() - t0, 3)
         extra["n_docs"] = result.n_docs
@@ -74,10 +82,14 @@ def main() -> None:
         qset = generate_query_set(int(os.environ.get("SPARK_GRAFT_QUERIES", "50")))
 
         t0 = time.time()
-        n = searcher.search_many(qset, top_k=10).count()
+        n = searcher.search_many(qset, top_k=10, method="wand").count()
         timings["search_batch50"] = round(time.time() - t0, 3)
         extra["queries_in_batch"] = len(qset)
         extra["batch_hits"] = n
+
+        t0 = time.time()
+        searcher.search_many(qset[:20], top_k=10, method="sql").count()
+        timings["search_batch_sql20"] = round(time.time() - t0, 3)
 
         q1 = qset[0]["text"]
         t0 = time.time()
@@ -115,6 +127,7 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(tx_dir, ignore_errors=True)
         spark.stop()
 
 

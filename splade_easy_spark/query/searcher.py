@@ -219,6 +219,7 @@ class Searcher:
         queries: list[dict],
         top_k: int = 10,
         use_cosine: bool = False,
+        method: str = "sql",
     ) -> DataFrame:
         """Batch evaluation of many queries in ONE Spark job (the bulk
         path the reference lacks entirely): explode all query terms, join
@@ -235,6 +236,48 @@ class Searcher:
             return self.spark.createDataFrame(
                 [], "query_id STRING, rank INT, doc_id STRING, score DOUBLE, conv_id STRING, turn_idx INT"
             )
+        deleted0 = self._deleted()
+        if method == "wand":
+            if use_cosine:
+                raise ValueError("wand method supports dot (BM25) mode only")
+            from splade_easy_spark.query.wand import wand_search_many_scores
+
+            qt = {
+                q["query_id"]: analyze_query(q["text"], self.config) for q in queries
+            }
+            qt = {k: v for k, v in qt.items() if v}
+            del_ints = (
+                [r["doc_int"] for r in deleted0.select("doc_int").collect()]
+                if deleted0 is not None
+                else None
+            )
+            seg_docs = int(
+                self.cat.manifest.data.get("layout", {}).get(
+                    "segment_docs", self.config.segment_docs
+                )
+            )
+            cand = wand_search_many_scores(
+                self.spark,
+                self.cat.read(self.spark, "postings"),
+                qt,
+                seg_docs,
+                top_k,
+                del_ints,
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_int"))
+            topk = cand.withColumn("rank", F.row_number().over(w)).where(
+                F.col("rank") <= top_k
+            )
+            return (
+                topk.join(
+                    self.docs.select("doc_int", "doc_id", "conv_id", "turn_idx"), "doc_int"
+                )
+                .select("query_id", "rank", "doc_id", "score", "conv_id", "turn_idx")
+                .orderBy("query_id", "rank")
+            )
+
         import zlib
 
         qdf = self.spark.createDataFrame(rows, "query_id STRING, term STRING, qweight DOUBLE")
@@ -270,10 +313,9 @@ class Searcher:
                 F.sum(F.col("weight") * F.col("qweight")).alias("score")
             )
         scores = scores.where(F.col("score") > 0)
-        deleted = self._deleted()
-        if deleted is not None:
+        if deleted0 is not None:
             scores = scores.join(
-                F.broadcast(deleted.select("doc_int")), "doc_int", "left_anti"
+                F.broadcast(deleted0.select("doc_int")), "doc_int", "left_anti"
             )
 
         # Partial per-partition top-k before the global window — the batch

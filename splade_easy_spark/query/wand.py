@@ -100,6 +100,88 @@ def _score_segment(
     return (live + seg_base)[order], scores[order]
 
 
+def wand_search_many_scores(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries_terms: dict[str, list[tuple[str, float]]],
+    segment_docs: int,
+    top_k: int = 10,
+    deleted_doc_ints: list[int] | None = None,
+) -> DataFrame:
+    """Batch retrieval: (query_id, doc_int, score) per-segment top-k
+    candidates for EVERY query in one pass.
+
+    The SQL batch path multiplies each posting row by every query sharing
+    its term (a Zipfian head term × 100 queries → 10^8 joined rows).  Here
+    each segment's blocks for the union of query terms are decoded ONCE and
+    scattered into per-query dense accumulators — work is
+    O(Σ_term decode + Σ_(term,query) postings_in_segment) with no join
+    blowup materialized, and only per-segment top-k rows leave the kernel.
+    """
+    term_to_queries: dict[str, list[tuple[int, float]]] = {}
+    qids = sorted(queries_terms)
+    for qi, qid in enumerate(qids):
+        for term, qw in queries_terms[qid]:
+            term_to_queries.setdefault(term, []).append((qi, qw))
+    all_terms = sorted(term_to_queries)
+    b_t2q = spark.sparkContext.broadcast(term_to_queries)
+    b_qids = spark.sparkContext.broadcast(qids)
+    b_del = spark.sparkContext.broadcast(
+        np.array(sorted(deleted_doc_ints), dtype=np.int64) if deleted_doc_ints else None
+    )
+
+    pruned = postings.where(F.col("term").isin(all_terms)).repartition(F.col("seg"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        t2q = b_t2q.value
+        nq = len(b_qids.value)
+        deleted = b_del.value
+        # bound accumulator memory at ~256 MB per task
+        q_chunk = max(1, (256 << 20) // (segment_docs * 9))
+        for seg, g in pdf.groupby("seg", sort=False):
+            base = int(seg) * segment_docs
+            # decode each term's blocks ONCE per segment, reused by chunks
+            decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            for term, tg in g.groupby("term", sort=False):
+                docs_cat, wts_cat = [], []
+                for _, row in tg.iterrows():
+                    d, w = unpack_block(row["docs"], row["wts"], int(row["n"]))
+                    docs_cat.append(d)
+                    wts_cat.append(w)
+                decoded[term] = (np.concatenate(docs_cat) - base, np.concatenate(wts_cat))
+            out_q, out_d, out_s = [], [], []
+            for q0 in range(0, nq, q_chunk):
+                qn = min(q_chunk, nq - q0)
+                acc = np.zeros((qn, segment_docs), dtype=np.float64)
+                touched = np.zeros((qn, segment_docs), dtype=bool)
+                for term, (idx, wts) in decoded.items():
+                    for qi, qw in t2q[term]:
+                        if q0 <= qi < q0 + qn:
+                            acc[qi - q0, idx] += qw * wts
+                            touched[qi - q0, idx] = True
+                for ci in range(qn):
+                    live = np.flatnonzero(touched[ci] & (acc[ci] > 0))
+                    if deleted is not None and len(live):
+                        live = live[~np.isin(live + base, deleted)]
+                    if len(live) == 0:
+                        continue
+                    scores = acc[ci, live]
+                    if len(live) > top_k:
+                        part = np.argpartition(scores, len(scores) - top_k)[len(scores) - top_k:]
+                        live, scores = live[part], scores[part]
+                    out_q.extend([b_qids.value[q0 + ci]] * len(live))
+                    out_d.extend((live + base).tolist())
+                    out_s.extend(scores.tolist())
+            if out_q:
+                yield pd.DataFrame({"query_id": out_q, "doc_int": out_d, "score": out_s})
+
+    return pruned.mapInPandas(kernel, schema="query_id STRING, doc_int LONG, score DOUBLE")
+
+
 def wand_search_scores(
     spark: SparkSession,
     postings: DataFrame,

@@ -97,3 +97,20 @@ def test_segment_kernel_pruning_exactness():
     order = np.lexsort((np.arange(seg_docs), -truth))[:10]
     assert list(d) == [int(i) for i in order]
     assert np.allclose(s, truth[order], rtol=1e-7)
+
+
+def test_batch_wand_equals_batch_sql(corpus, spark):
+    idx_dir, oracle = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    queries = [{"query_id": f"q{i}", "text": q["text"]} for i, q in enumerate(generate_query_set(12, seed=31))]
+    def collect(method):
+        got = {}
+        for r in s.search_many(queries, top_k=5, method=method).collect():
+            got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+        return got
+    sql, wand = collect("sql"), collect("wand")
+    assert set(sql) == set(wand)
+    for qid in sql:
+        assert [d for d, _ in sql[qid]] == [d for d, _ in wand[qid]]
+        for (_, a), (_, b) in zip(sql[qid], wand[qid]):
+            assert abs(a - b) <= 1e-5 * max(1.0, abs(a))  # float32 packed weights
