@@ -57,11 +57,17 @@ def main() -> None:
         segment_docs=1 << 14,
         block_size=128,
     )
-    idx_dir = tempfile.mkdtemp(prefix="bench_index_")
+    # BENCH_TMPDIR (e.g. /dev/shm/...) lets the scaling harness take the
+    # single shared disk out of the measurement — a sandbox artifact real
+    # clusters don't have (each executor owns its disks)
+    tmp_root = os.environ.get("BENCH_TMPDIR")
+    if tmp_root:
+        os.makedirs(tmp_root, exist_ok=True)
+    idx_dir = tempfile.mkdtemp(prefix="bench_index_", dir=tmp_root)
     timings: dict[str, float] = {}
     extra: dict = {"cpus": cpus, "num_convs": num_convs}
 
-    tx_dir = tempfile.mkdtemp(prefix="bench_tx_")
+    tx_dir = tempfile.mkdtemp(prefix="bench_tx_", dir=tmp_root)
     try:
         # Materialize the synthetic input UNTIMED: the engine's contract is
         # an existing Iceberg/Parquet transcript table — input synthesis is

@@ -271,11 +271,11 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = N
         partition_by=["tb"],
     )
 
-    dt = spark.read.parquet(cat.table_dir("doc_terms"))
-
-    packed = pack_doc_terms(dt, cfg.segment_docs, cfg.block_size).sortWithinPartitions(
-        "term", "block_id"
-    )
+    # pack straight from the persisted in-memory frame — re-reading the
+    # just-written doc_terms parquet would cost a full extra table scan
+    packed = pack_doc_terms(
+        doc_terms.select("term", "doc_int", "weight"), cfg.segment_docs, cfg.block_size
+    ).sortWithinPartitions("term", "block_id")
     cat.write(packed, "postings", partition_by=["seg"])
     weighted.unpersist()
     if ctx is not None and "term_tf" in ctx:
