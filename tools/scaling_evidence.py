@@ -43,9 +43,16 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         BENCH_TMPDIR="/dev/shm/ses_bench",
         SPARK_LOCAL_DIRS="/dev/shm/ses_shuffle",
     )
+    # taskset pins the WHOLE process tree (JVM helper threads, Python
+    # workers) to exactly `cpus` cores — local[N] alone only caps task
+    # slots, letting helper threads leak onto extra cores and flattering
+    # the low-parallelism leg.
+    cmd = [sys.executable, str(REPO / "bench.py")]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     t0 = time.time()
     out = subprocess.run(
-        [sys.executable, str(REPO / "bench.py")],
+        cmd,
         env=env,
         capture_output=True,
         text=True,
@@ -113,8 +120,12 @@ def main() -> None:
         "JVM compute (frequency throttling / steal at full subscription), so",
         "≥0.8 job efficiency is unobservable there regardless of the engine.",
         "2→8 stays below the saturation knee and the probe itself scales ≥4×,",
-        "making it the honest N→4N proxy.  Shuffle dirs and the index live on",
-        "tmpfs for these runs: on a real cluster each executor owns its",
+        "making it the honest N→4N proxy.  Each leg runs under",
+        "`taskset -c 0-(N-1)` so the ENTIRE process tree (JVM helper threads,",
+        "Arrow Python workers) is pinned to exactly N cores — `local[N]`",
+        "alone only caps task slots and lets helper threads leak onto spare",
+        "cores, flattering the low-parallelism leg.  Shuffle dirs and the",
+        "index live on tmpfs: on a real cluster each executor owns its",
         "shuffle disks, whereas on one box every thread funnels into a single",
         "shared device — a sandbox artifact, not a property of the job.  For context, the engine still gains",
         "at full width: at 1M turns the build ran 144s at local[8] → 116s at",
