@@ -9,7 +9,8 @@ Headline suite:
   build_index      — synthetic transcript corpus (~10k turns per lineitem-sf
                      unit → 100k turns at sf0.1) through the full build
                      (tokenize → stats → weighted postings, both layouts)
-  search_batch50   — the 50-query reference query set in ONE batch job
+  search_batch50   — the reference query set in ONE batch job (decode-once
+                     batch WAND kernel); search_batch_sql20 = SQL batch path
   search_single    — one cold single-query search (SQL path)
   search_wand      — same query through the packed/WAND path
   bm25_docs_topk   — ad-hoc BM25 top-k over the sf documents table

@@ -12,8 +12,9 @@ acknowledged bottleneck) with three bulk Spark jobs:
                   kernel — NO token-grain shuffle) → term DF aggregation
                   (the single term-keyed shuffle) → term_stats + corpus_stats
   stage postings: tf rows ⨝ term_stats (broadcast when small) → BM25
-                  weights → salted repartition by term → applyInPandas
-                  block packing → postings + doc_terms + doc_norms
+                  weights → hot-term-salted repartition for the tb-bucketed
+                  doc_terms write + seg repartition into the streaming
+                  mapInPandas block packer → postings + doc_terms + doc_norms
 
 Shuffle budget at scale: one range shuffle (doc order), one term-stats agg,
 one term-keyed exchange for posting grouping (salted for hot terms), one
