@@ -72,8 +72,13 @@ def _stage_docs(spark: SparkSession, transcripts: DataFrame, cat: IndexCatalog) 
         "tool",
         "ts",
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
-    ).withColumn("doc_len", F.size(tokenize(F.col("text"), cfg.analyzer)))
-    docs = assign_doc_ints(base, "doc_id", cfg.build_partitions)
+    )
+    # doc_len AFTER the range shuffle: the range partitioner's sampling pass
+    # evaluates its input, so computing tokenize() downstream of the
+    # exchange tokenizes the corpus once instead of twice
+    docs = assign_doc_ints(base, "doc_id", cfg.build_partitions).withColumn(
+        "doc_len", F.size(tokenize(F.col("text"), cfg.analyzer))
+    )
     cat.write(docs, "docs")
     return {"rows": cat.table_rows("docs")}
 
