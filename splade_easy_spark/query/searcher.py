@@ -192,18 +192,16 @@ class Searcher:
             from splade_easy_spark.query.wand import wand_search_scores
 
             postings = self.cat.read(self.spark, "postings")
-            del_ints = (
-                [r["doc_int"] for r in deleted.select("doc_int").collect()]
-                if deleted is not None
-                else None
-            )
             seg_docs = int(
                 self.cat.manifest.data.get("layout", {}).get(
                     "segment_docs", self.config.segment_docs
                 )
             )
+            # tombstones stay distributed: packed rows ride the postings'
+            # seg exchange into the kernel (never a driver collect), which
+            # masks them BEFORE the pruning threshold is computed
             scores = wand_search_scores(
-                self.spark, postings, terms, seg_docs, top_k, del_ints
+                self.spark, postings, terms, seg_docs, top_k, deleted
             )
         else:
             scores = self._scores(terms, use_cosine)
@@ -246,11 +244,6 @@ class Searcher:
                 q["query_id"]: analyze_query(q["text"], self.config) for q in queries
             }
             qt = {k: v for k, v in qt.items() if v}
-            del_ints = (
-                [r["doc_int"] for r in deleted0.select("doc_int").collect()]
-                if deleted0 is not None
-                else None
-            )
             seg_docs = int(
                 self.cat.manifest.data.get("layout", {}).get(
                     "segment_docs", self.config.segment_docs
@@ -262,7 +255,7 @@ class Searcher:
                 qt,
                 seg_docs,
                 top_k,
-                del_ints,
+                deleted0,
             )
             from pyspark.sql import Window
 

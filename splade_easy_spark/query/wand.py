@@ -1,4 +1,4 @@
-"""Block-max pruned top-k retrieval over the packed postings layout.
+"""Block-max WAND pruned top-k retrieval over the packed postings layout.
 
 The physical plan mirrors the reference's shard fan-out + heap merge
 (``src/splade_easy/retriever.py:105-122``) but over an *inverted, doc-
@@ -8,19 +8,43 @@ segmented* layout:
   segment) → parquet scan pruned to the query's terms (predicate pushdown;
   files are sorted by term inside each segment partition so row-group stats
   prune) → mapInPandas kernel: per segment, exact BM25 scores via a dense
-  NumPy scatter-add accumulator with **block-max MaxScore pruning**
-  (WAND-family dynamic pruning: terms processed in descending score upper
-  bound; once the remaining terms' upper-bound sum falls below the running
-  top-k threshold, later terms can no longer introduce new top-k docs, and
-  their blocks are decoded only when their [doc_min, doc_max] range
-  intersects surviving candidates — block skipping driven by the per-block
-  max-score/min-max metadata) → per-segment top-k candidates → global
-  ``orderBy(desc).limit(k)`` (TakeOrderedAndProject: partial top-k per
-  partition + driver merge, the reference's exact merge topology).
+  NumPy scatter-add accumulator with **block-max pruning** → per-segment
+  top-k candidates → global ``orderBy(desc).limit(k)``
+  (TakeOrderedAndProject: partial top-k per partition + driver merge, the
+  reference's exact merge topology).
+
+Pruning inside ``_score_segment`` is a vectorized block-max MaxScore/WAND
+hybrid, exact by construction:
+
+  phase 1 (essential terms, descending score upper bound): every block is
+  decoded into the dense accumulator — except that once a running top-k
+  threshold θ exists, a block is skipped when even its best possible
+  outcome, ``max(acc over its doc range) + qw·block_max_weight +
+  Σ remaining-term upper bounds``, stays below θ (per-block max_weight
+  skipping, the block-max part).  Docs in a skipped block are *proven*
+  unable to reach the final top-k, so their understated partial scores can
+  never surface (see the invariant note in ``_score_segment``).
+
+  phase 2 (candidate mode): once the remaining terms' upper-bound sum falls
+  below θ, no new doc can enter the top-k; the surviving candidate set is
+  tracked explicitly with **per-candidate remaining upper bounds computed
+  from each candidate's covering block** (searchsorted over block ranges —
+  tighter than the global per-term bound), only blocks containing a live
+  candidate are decoded, and θ keeps rising from the candidates' exact
+  partial scores.
+
+Tombstones never pass through the driver: the ``deleted`` table is packed
+into varbyte tombstone rows (term = ``TOMB_TERM``) that ride the same
+seg-colocation exchange as the postings, and the kernel masks dead docs
+*before* θ / candidate computation, so deletes can never inflate the
+pruning threshold (they are invisible to it) and results equal a
+rebuilt-without-them index's.
 
 Scores are EXACT (pruning only skips work that cannot change the top-k),
 so this path is rank-identical to the SQL path and to the oracle — asserted
-by tests/test_wand.py on every fixture.
+by tests/test_wand.py on every fixture.  Per-segment k-boundary ties are
+all kept (everything scoring >= the kth value survives the segment cut) so
+the global (score DESC, doc_id ASC) ordering resolves them deterministically.
 
 Dot-product (BM25) mode only: block max-scores bound Σ w·qw, which does not
 bound the cosine ratio; cosine queries use the SQL path.
@@ -35,7 +59,78 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from splade_easy_spark.index.postings import unpack_block
+from splade_easy_spark.index.postings import unpack_block, varbyte_encode
+
+#: term-column marker for packed tombstone rows; real terms match the
+#: analyzer's token pattern ([a-z0-9]+ by default) so "\x00" cannot collide.
+TOMB_TERM = "\x00tomb"
+
+_POSTINGS_SCHEMA = (
+    "seg LONG, term STRING, block_id INT, n INT, doc_min LONG, "
+    "doc_max LONG, max_weight DOUBLE, docs BINARY, wts BINARY"
+)
+
+
+def _tombstone_blocks(deleted: DataFrame, segment_docs: int) -> DataFrame:
+    """Pack the deleted table's doc_ints into postings-schema rows so they
+    ride the postings' seg-colocation exchange to their segment's kernel —
+    fully distributed (the round-1 driver ``collect()`` of tombstones would
+    funnel a heavily-deleted index's millions of ids through the driver per
+    query).  Multiple rows per seg are fine; the kernel concatenates."""
+    dels = deleted.select(
+        (F.col("doc_int") / F.lit(segment_docs)).cast("long").alias("seg"),
+        "doc_int",
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "seg", "term", "block_id", "n", "doc_min", "doc_max",
+                    "max_weight", "docs", "wts",
+                )
+            }
+            for seg, g in pdf.groupby("seg", sort=False):
+                ids = np.unique(g["doc_int"].to_numpy().astype(np.int64))
+                deltas = np.empty(len(ids), dtype=np.uint64)
+                deltas[0] = ids[0]
+                deltas[1:] = np.diff(ids).astype(np.uint64)
+                out["seg"].append(int(seg))
+                out["term"].append(TOMB_TERM)
+                out["block_id"].append(0)
+                out["n"].append(int(len(ids)))
+                out["doc_min"].append(int(ids[0]))
+                out["doc_max"].append(int(ids[-1]))
+                out["max_weight"].append(0.0)
+                out["docs"].append(varbyte_encode(deltas))
+                out["wts"].append(b"")
+            yield pd.DataFrame(out)
+
+    return dels.mapInPandas(pack, schema=_POSTINGS_SCHEMA)
+
+
+def _split_tombstones(
+    pdf: pd.DataFrame,
+) -> tuple[pd.DataFrame, pd.DataFrame | None]:
+    mask = pdf["term"] == TOMB_TERM
+    if not mask.any():
+        return pdf, None
+    return pdf[~mask], pdf[mask]
+
+
+def _dead_local(tomb: pd.DataFrame | None, seg: int, seg_base: int) -> np.ndarray | None:
+    if tomb is None:
+        return None
+    tg = tomb[tomb["seg"] == seg]
+    if not len(tg):
+        return None
+    parts = [
+        unpack_block(b, b"", int(n))[0] for b, n in zip(tg["docs"], tg["n"])
+    ]
+    return np.unique(np.concatenate(parts)) - seg_base
 
 
 def _score_segment(
@@ -44,60 +139,226 @@ def _score_segment(
     seg_base: int,
     seg_docs: int,
     top_k: int,
-    deleted: np.ndarray | None,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Exact top-k for one segment; returns (doc_ints, scores)."""
+    dead_local: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Exact top-k for one segment.
+
+    Returns (doc_ints, scores, blocks_total, blocks_decoded); ties at the
+    k-boundary are all kept (caller's global order resolves them).
+
+    Exactness invariant for block skipping: a block is only skipped when
+    every doc in it provably cannot reach the final top-k — at the FIRST
+    skip touching a doc its accumulated score is still exact, and the skip
+    condition bounds its total potential (exact acc + this block's
+    qw·max_weight + all remaining terms' upper bounds) strictly below θ,
+    which only grows toward the final kth score.  A doc with an understated
+    score therefore always ranks strictly below the exact top-k and can
+    never be emitted (the per-segment cut keeps >= kth, and understated
+    docs are < θ <= kth).
+    """
     acc = np.zeros(seg_docs, dtype=np.float64)
     touched = np.zeros(seg_docs, dtype=bool)
+    alive: np.ndarray | None = None
+    if dead_local is not None and len(dead_local):
+        alive = np.ones(seg_docs, dtype=bool)
+        alive[dead_local[(dead_local >= 0) & (dead_local < seg_docs)]] = False
 
-    # per-term upper bound = qw * max block max_weight
+    # per term: blocks sorted by doc_min (non-overlapping ascending ranges —
+    # pack_postings emits consecutive sorted runs; appended runs start past
+    # the previous max doc_int)
     terms = []
+    blocks_total = 0
     for term, tg in g.groupby("term", sort=False):
         qw = qw_map[term]
-        ub = qw * float(tg["max_weight"].max())
-        terms.append((ub, term, tg.sort_values("block_id"), qw))
-    terms.sort(key=lambda t: -t[0])
-    suffix_ub = np.cumsum([t[0] for t in terms][::-1])[::-1]
+        tg = tg.sort_values("doc_min", kind="stable")
+        bmin = tg["doc_min"].to_numpy(dtype=np.int64) - seg_base
+        bmax = tg["doc_max"].to_numpy(dtype=np.int64) - seg_base
+        bubs = qw * tg["max_weight"].to_numpy(dtype=np.float64)
+        bufs = list(zip(tg["docs"], tg["wts"], tg["n"].astype(int)))
+        terms.append((float(bubs.max()), term, qw, bmin, bmax, bubs, bufs))
+        blocks_total += len(bufs)
+    # descending upper bound; term as tiebreak for determinism
+    terms.sort(key=lambda t: (-t[0], t[1]))
+    ubs = np.array([t[0] for t in terms], dtype=np.float64)
+    suffix = np.concatenate((np.cumsum(ubs[::-1])[::-1], [0.0]))
 
+    blocks_decoded = 0
     theta = 0.0
-    candidates: np.ndarray | None = None  # local indices, None = all docs
-    for i, (ub, term, tg, qw) in enumerate(terms):
-        remaining_after = suffix_ub[i + 1] if i + 1 < len(terms) else 0.0
-        for _, row in tg.iterrows():
-            if candidates is not None:
-                # candidate-only mode: skip blocks not overlapping survivors
-                lo = np.searchsorted(candidates, row["doc_min"] - seg_base)
-                if lo >= len(candidates) or candidates[lo] > row["doc_max"] - seg_base:
-                    continue  # block-max/range skip
-            d, w = unpack_block(row["docs"], row["wts"], int(row["n"]))
-            idx = d - seg_base
-            acc[idx] += qw * w
-            touched[idx] = True
-        # update running threshold + candidate set
+    theta_set = False
+    candidates: np.ndarray | None = None  # sorted local indices, None = phase 1
+    rem_ub: np.ndarray | None = None  # per-candidate remaining block-max bound
+
+    def covering_ub(bmin_t, bmax_t, bubs_t, cand):
+        """Per-candidate upper bound from the covering block of one term
+        (0 where no block covers the candidate)."""
+        pos = np.searchsorted(bmin_t, cand, side="right") - 1
+        cov = pos >= 0
+        cov[cov] = cand[cov] <= bmax_t[pos[cov]]
+        out = np.zeros(len(cand), dtype=np.float64)
+        out[cov] = bubs_t[pos[cov]]
+        return out
+
+    for i, (ub, term, qw, bmin, bmax, bubs, bufs) in enumerate(terms):
+        remaining_after = float(suffix[i + 1])
         if candidates is None:
+            for j, (dbuf, wbuf, n) in enumerate(bufs):
+                if theta_set:
+                    lo, hi = int(bmin[j]), int(bmax[j]) + 1
+                    if acc[lo:hi].max() + bubs[j] + remaining_after < theta:
+                        continue  # block-max skip (phase-1)
+                d, w = unpack_block(dbuf, wbuf, int(n))
+                blocks_decoded += 1
+                idx = d - seg_base
+                acc[idx] += qw * w
+                if alive is None:
+                    touched[idx] = True
+                else:
+                    touched[idx] = alive[idx]
             t_idx = np.flatnonzero(touched)
             if len(t_idx) >= top_k:
                 scores = acc[t_idx]
                 kth = np.partition(scores, len(scores) - top_k)[len(scores) - top_k]
-                theta = kth
+                theta = max(theta, float(kth))
+                theta_set = True
                 if remaining_after < theta:
-                    # remaining terms cannot create NEW top-k docs
+                    # no untouched doc can reach θ — freeze the candidate set
                     keep = t_idx[acc[t_idx] + remaining_after >= theta]
                     candidates = np.sort(keep)
+                    rem_ub = np.zeros(len(candidates), dtype=np.float64)
+                    for (_, _, _, bmin2, bmax2, bubs2, _) in terms[i + 1 :]:
+                        rem_ub += covering_ub(bmin2, bmax2, bubs2, candidates)
+                    sel = acc[candidates] + rem_ub >= theta
+                    candidates, rem_ub = candidates[sel], rem_ub[sel]
         else:
-            candidates = candidates[acc[candidates] + remaining_after >= theta]
+            if len(candidates) == 0:
+                break
+            # decode only blocks containing >=1 surviving candidate
+            pos_lo = np.searchsorted(candidates, bmin)
+            has_c = pos_lo < len(candidates)
+            needed = has_c.copy()
+            needed[has_c] = candidates[pos_lo[has_c]] <= bmax[has_c]
+            for j in np.flatnonzero(needed):
+                dbuf, wbuf, n = bufs[j]
+                d, w = unpack_block(dbuf, wbuf, int(n))
+                blocks_decoded += 1
+                idx = d - seg_base
+                acc[idx] += qw * w
+            # retire this term's per-candidate bound, tighten θ, re-filter
+            rem_ub = rem_ub - covering_ub(bmin, bmax, bubs, candidates)
+            cs = acc[candidates]
+            if len(cs) >= top_k:
+                kth = np.partition(cs, len(cs) - top_k)[len(cs) - top_k]
+                theta = max(theta, float(kth))
+            sel = cs + rem_ub >= theta
+            candidates, rem_ub = candidates[sel], rem_ub[sel]
 
-    live = np.flatnonzero(touched & (acc > 0))
-    if deleted is not None and len(live):
-        live = live[~np.isin(live + seg_base, deleted)]
+    if candidates is not None:
+        live = candidates[acc[candidates] > 0]
+    else:
+        live = np.flatnonzero(touched & (acc > 0))
     if len(live) == 0:
-        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.float64),
+            blocks_total,
+            blocks_decoded,
+        )
     scores = acc[live]
     if len(live) > top_k:
-        part = np.argpartition(scores, len(scores) - top_k)[len(scores) - top_k :]
-        live, scores = live[part], scores[part]
+        kth = np.partition(scores, len(scores) - top_k)[len(scores) - top_k]
+        sel = scores >= kth  # keep k-boundary ties for the global tiebreak
+        live, scores = live[sel], scores[sel]
     order = np.lexsort((live, -scores))
-    return (live + seg_base)[order], scores[order]
+    return (live + seg_base)[order], scores[order], blocks_total, blocks_decoded
+
+
+def _pruned_with_tombstones(
+    postings: DataFrame,
+    qterms: list[str],
+    deleted: DataFrame | None,
+    segment_docs: int,
+) -> DataFrame:
+    """Term filter FIRST (parquet predicate pushdown — only the query's
+    posting lists are read), union the packed tombstones, then colocate each
+    segment's surviving blocks in one partition.  The kernel needs a
+    segment's blocks together to produce complete document scores; this
+    repartition moves only the query's postings (same volume the SQL path
+    shuffles into its join)."""
+    pruned = postings.where(F.col("term").isin(qterms))
+    if deleted is not None:
+        pruned = pruned.unionByName(_tombstone_blocks(deleted, segment_docs))
+    return pruned.repartition(F.col("seg"))
+
+
+def wand_search_scores(
+    spark: SparkSession,
+    postings: DataFrame,
+    terms: list[tuple[str, float]],
+    segment_docs: int,
+    top_k: int = 10,
+    deleted: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_int, score) candidates: per-segment exact top-k via the pruned
+    kernel, global merge left to the caller's orderBy/limit."""
+    qterms = [t for t, _ in terms]
+    b_qw = spark.sparkContext.broadcast(dict(terms))
+    pruned = _pruned_with_tombstones(postings, qterms, deleted, segment_docs)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        real, tomb = _split_tombstones(pdf)
+        for seg, g in real.groupby("seg", sort=False):
+            base = int(seg) * segment_docs
+            dead = _dead_local(tomb, seg, base)
+            d, s, _, _ = _score_segment(g, b_qw.value, base, segment_docs, top_k, dead)
+            if len(d):
+                yield pd.DataFrame({"doc_int": d, "score": s})
+
+    return pruned.mapInPandas(kernel, schema="doc_int LONG, score DOUBLE")
+
+
+def wand_profile(
+    spark: SparkSession,
+    postings: DataFrame,
+    terms: list[tuple[str, float]],
+    segment_docs: int,
+    top_k: int = 10,
+    deleted: DataFrame | None = None,
+) -> DataFrame:
+    """Instrumented run: per-segment (blocks_total, blocks_decoded) for the
+    same exact computation — the pruning-effectiveness probe behind the
+    ``wand_block_skip_ratio`` bench entry."""
+    qterms = [t for t, _ in terms]
+    b_qw = spark.sparkContext.broadcast(dict(terms))
+    pruned = _pruned_with_tombstones(postings, qterms, deleted, segment_docs)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        real, tomb = _split_tombstones(pdf)
+        segs, bt, bd = [], [], []
+        for seg, g in real.groupby("seg", sort=False):
+            base = int(seg) * segment_docs
+            dead = _dead_local(tomb, seg, base)
+            _, _, total, decoded = _score_segment(
+                g, b_qw.value, base, segment_docs, top_k, dead
+            )
+            segs.append(int(seg))
+            bt.append(total)
+            bd.append(decoded)
+        if segs:
+            yield pd.DataFrame(
+                {"seg": segs, "blocks_total": bt, "blocks_decoded": bd}
+            )
+
+    return pruned.mapInPandas(
+        kernel, schema="seg LONG, blocks_total LONG, blocks_decoded LONG"
+    )
 
 
 def wand_search_many_scores(
@@ -106,7 +367,7 @@ def wand_search_many_scores(
     queries_terms: dict[str, list[tuple[str, float]]],
     segment_docs: int,
     top_k: int = 10,
-    deleted_doc_ints: list[int] | None = None,
+    deleted: DataFrame | None = None,
 ) -> DataFrame:
     """Batch retrieval: (query_id, doc_int, score) per-segment top-k
     candidates for EVERY query in one pass.
@@ -126,24 +387,26 @@ def wand_search_many_scores(
     all_terms = sorted(term_to_queries)
     b_t2q = spark.sparkContext.broadcast(term_to_queries)
     b_qids = spark.sparkContext.broadcast(qids)
-    b_del = spark.sparkContext.broadcast(
-        np.array(sorted(deleted_doc_ints), dtype=np.int64) if deleted_doc_ints else None
-    )
 
-    pruned = postings.where(F.col("term").isin(all_terms)).repartition(F.col("seg"))
+    pruned = _pruned_with_tombstones(postings, all_terms, deleted, segment_docs)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         frames = [b for b in batches if len(b)]
         if not frames:
             return
         pdf = pd.concat(frames, ignore_index=True)
+        real, tomb = _split_tombstones(pdf)
         t2q = b_t2q.value
         nq = len(b_qids.value)
-        deleted = b_del.value
         # bound accumulator memory at ~256 MB per task
         q_chunk = max(1, (256 << 20) // (segment_docs * 9))
-        for seg, g in pdf.groupby("seg", sort=False):
+        for seg, g in real.groupby("seg", sort=False):
             base = int(seg) * segment_docs
+            dead = _dead_local(tomb, seg, base)
+            alive = None
+            if dead is not None and len(dead):
+                alive = np.ones(segment_docs, dtype=bool)
+                alive[dead[(dead >= 0) & (dead < segment_docs)]] = False
             # decode each term's blocks ONCE per segment, reused by chunks
             decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
             for term, tg in g.groupby("term", sort=False):
@@ -162,17 +425,19 @@ def wand_search_many_scores(
                     for qi, qw in t2q[term]:
                         if q0 <= qi < q0 + qn:
                             acc[qi - q0, idx] += qw * wts
-                            touched[qi - q0, idx] = True
+                            if alive is None:
+                                touched[qi - q0, idx] = True
+                            else:
+                                touched[qi - q0, idx] = alive[idx]
                 for ci in range(qn):
                     live = np.flatnonzero(touched[ci] & (acc[ci] > 0))
-                    if deleted is not None and len(live):
-                        live = live[~np.isin(live + base, deleted)]
                     if len(live) == 0:
                         continue
                     scores = acc[ci, live]
                     if len(live) > top_k:
-                        part = np.argpartition(scores, len(scores) - top_k)[len(scores) - top_k:]
-                        live, scores = live[part], scores[part]
+                        kth = np.partition(scores, len(scores) - top_k)[len(scores) - top_k]
+                        sel = scores >= kth  # keep k-boundary ties
+                        live, scores = live[sel], scores[sel]
                     out_q.extend([b_qids.value[q0 + ci]] * len(live))
                     out_d.extend((live + base).tolist())
                     out_s.extend(scores.tolist())
@@ -180,41 +445,3 @@ def wand_search_many_scores(
                 yield pd.DataFrame({"query_id": out_q, "doc_int": out_d, "score": out_s})
 
     return pruned.mapInPandas(kernel, schema="query_id STRING, doc_int LONG, score DOUBLE")
-
-
-def wand_search_scores(
-    spark: SparkSession,
-    postings: DataFrame,
-    terms: list[tuple[str, float]],
-    segment_docs: int,
-    top_k: int = 10,
-    deleted_doc_ints: list[int] | None = None,
-) -> DataFrame:
-    """(doc_int, score) candidates: per-segment exact top-k via the pruned
-    kernel, global merge left to the caller's orderBy/limit."""
-    qterms = [t for t, _ in terms]
-    qw_map = dict(terms)
-    b_qw = spark.sparkContext.broadcast(qw_map)
-    b_del = spark.sparkContext.broadcast(
-        np.array(sorted(deleted_doc_ints), dtype=np.int64) if deleted_doc_ints else None
-    )
-
-    # Term filter FIRST (parquet predicate pushdown — only the query's
-    # posting lists are read), then colocate each segment's surviving blocks
-    # in one partition.  The kernel needs a segment's blocks together to
-    # produce complete document scores; this repartition moves only the
-    # query's postings (same volume the SQL path shuffles into its join).
-    pruned = postings.where(F.col("term").isin(qterms)).repartition(F.col("seg"))
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        frames = [b for b in batches if len(b)]
-        if not frames:
-            return
-        pdf = pd.concat(frames, ignore_index=True)
-        for seg, g in pdf.groupby("seg", sort=False):
-            base = int(seg) * segment_docs
-            d, s = _score_segment(g, b_qw.value, base, segment_docs, top_k, b_del.value)
-            if len(d):
-                yield pd.DataFrame({"doc_int": d, "score": s})
-
-    return pruned.mapInPandas(kernel, schema="doc_int LONG, score DOUBLE")

@@ -93,10 +93,120 @@ def test_segment_kernel_pruning_exactness():
                 }
             )
     g = pd.DataFrame(rows)
-    d, s = _score_segment(g, qw_map, 0, seg_docs, 10, None)
+    d, s, bt, bd = _score_segment(g, qw_map, 0, seg_docs, 10, None)
     order = np.lexsort((np.arange(seg_docs), -truth))[:10]
-    assert list(d) == [int(i) for i in order]
-    assert np.allclose(s, truth[order], rtol=1e-7)
+    assert list(d)[:10] == [int(i) for i in order]
+    assert np.allclose(s[:10], truth[order], rtol=1e-7)
+    assert bd <= bt
+
+
+def _mk_rows(term_postings, block_size=4):
+    """term_postings: {term: [(doc, w), ...]} → postings rows + qw_map=1.0."""
+    from splade_easy_spark.index.postings import pack_postings
+
+    rows = []
+    for term, posts in term_postings.items():
+        docs = np.array([p[0] for p in posts], dtype=np.int64)
+        wts = np.array([p[1] for p in posts], dtype=np.float64)
+        for b in pack_postings(docs, wts, block_size):
+            rows.append(
+                {
+                    "seg": 0, "term": term, "block_id": b["block_id"], "n": b["n"],
+                    "doc_min": b["doc_min"], "doc_max": b["doc_max"],
+                    "max_weight": b["max_weight"], "docs": b["docs"], "wts": b["wts"],
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def test_kernel_candidate_mode_with_deleted_top_doc():
+    """Regression (round-1 ADVICE, high): a tombstoned doc in the running
+    top-k must not inflate θ and prune the true post-delete winner.
+
+    term a: doc0 has a huge weight (θ would lock to it), docs 1..7 weight 1;
+    term b: doc5 weight 0.9.  With doc0 deleted, the true top-1 is doc5
+    (1.0 + 0.9); the buggy kernel kept θ=10 from the dead doc and skipped
+    term b's block."""
+    g = _mk_rows(
+        {
+            "a": [(0, 10.0)] + [(i, 1.0) for i in range(1, 8)],
+            "b": [(5, 0.9)],
+        }
+    )
+    qw = {"a": 1.0, "b": 1.0}
+    # sanity without deletes: doc0 wins
+    d, s, _, _ = _score_segment(g, qw, 0, 16, 1, None)
+    assert int(d[0]) == 0
+    # with doc0 tombstoned: doc5 must win with its EXACT score
+    d, s, _, _ = _score_segment(g, qw, 0, 16, 1, np.array([0], dtype=np.int64))
+    assert int(d[0]) == 5
+    assert abs(float(s[0]) - (1.0 + np.float32(0.9))) < 1e-6
+    assert 0 not in set(int(x) for x in d)
+
+
+def test_kernel_randomized_with_deletes():
+    """Randomized segments with random tombstones: kernel == brute force."""
+    rng = np.random.default_rng(42)
+    from splade_easy_spark.index.postings import pack_postings
+
+    for trial in range(8):
+        seg_docs = int(rng.integers(64, 512))
+        n_terms = int(rng.integers(2, 10))
+        truth = np.zeros(seg_docs)
+        qw_map, rows = {}, []
+        for t in range(n_terms):
+            term = f"t{t}"
+            qw_map[term] = float(rng.uniform(0.5, 2.0))
+            n_post = int(rng.integers(3, seg_docs))
+            docs = np.sort(rng.choice(seg_docs, size=n_post, replace=False)).astype(np.int64)
+            wts = rng.uniform(0.01, 3.0, size=n_post)
+            truth[docs] += qw_map[term] * wts.astype(np.float32).astype(np.float64)
+            for b in pack_postings(docs, wts, 16):
+                rows.append(
+                    {
+                        "seg": 0, "term": term, "block_id": b["block_id"], "n": b["n"],
+                        "doc_min": b["doc_min"], "doc_max": b["doc_max"],
+                        "max_weight": b["max_weight"], "docs": b["docs"], "wts": b["wts"],
+                    }
+                )
+        k = int(rng.integers(1, 12))
+        dead = rng.choice(seg_docs, size=int(rng.integers(0, seg_docs // 4 + 1)), replace=False)
+        masked = truth.copy()
+        masked[dead.astype(np.int64)] = 0.0
+        d, s, bt, bd = _score_segment(
+            pd.DataFrame(rows), qw_map, 0, seg_docs, k, dead.astype(np.int64)
+        )
+        expect = np.lexsort((np.arange(seg_docs), -masked))
+        expect = [int(i) for i in expect[: k] if masked[i] > 0]
+        assert list(d)[: len(expect)] == expect, f"trial {trial}"
+        assert np.allclose(s[: len(expect)], masked[expect], rtol=1e-7)
+        assert bd <= bt
+
+
+def test_kernel_keeps_kth_ties():
+    """k-boundary ties must all survive the per-segment cut so the global
+    (score DESC, doc_id ASC) order resolves them (round-1 ADVICE, low)."""
+    g = _mk_rows({"a": [(1, 2.0), (2, 1.0), (3, 1.0), (4, 1.0), (5, 0.5)]})
+    d, s, _, _ = _score_segment(g, {"a": 1.0}, 0, 8, 2, None)
+    # top-2 cut lands on the 1.0 tie group: all three tied docs kept
+    assert list(d) == [1, 2, 3, 4]
+    assert [round(float(x), 6) for x in s] == [2.0, 1.0, 1.0, 1.0]
+
+
+def test_wand_profile_blocks_skipped(corpus, spark):
+    """The instrumented kernel must report real pruning on a skewed corpus
+    and stay exact (wand_profile shares _score_segment with the live path)."""
+    idx_dir, _ = corpus
+    from splade_easy_spark.query.wand import wand_profile
+    from splade_easy_spark.query.searcher import analyze_query
+
+    s = Searcher(spark, idx_dir, CFG)
+    terms = analyze_query("baba0 ceba1 dada2", CFG)
+    postings = s.cat.read(spark, "postings")
+    prof = wand_profile(spark, postings, terms, CFG.segment_docs, top_k=3).collect()
+    total = sum(r["blocks_total"] for r in prof)
+    decoded = sum(r["blocks_decoded"] for r in prof)
+    assert total > 0 and 0 < decoded <= total
 
 
 def test_batch_wand_equals_batch_sql(corpus, spark):
