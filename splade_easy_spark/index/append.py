@@ -12,6 +12,22 @@ stats+postings rebuild, cheap relative to re-tokenizing: stage-level resume
 applies) re-derives exact weights; the drift-then-refresh cycle is the
 standard trade for append-only search indexes.
 
+Per-batch cost is O(batch), NOT O(index): every downstream table (docs,
+doc_terms, postings) is packed from the in-flight weighted DataFrame — round 1 re-read the whole docs and doc_terms tables per batch
+and filtered ``doc_int >= next_int``, a full table scan per append
+micro-batch that would cost O(index size) at 10^12 turns.  The next doc_int
+is tracked in the manifest (``next_doc_int``), so even the max-doc_int
+lookup needs no scan.
+
+Idempotence (exactly-once at the doc_id grain): with ``dedupe=True`` the
+incoming batch is first deduplicated on doc_id within itself, then
+anti-joined against the existing docs table, so a re-delivered foreachBatch
+micro-batch appends nothing instead of double-registering doc_ids (round 1
+assigned fresh doc_ints to re-delivered docs, which then double-scored).
+The anti-join broadcasts the batch's ids and reads only the ``doc_id``
+column of docs (column-pruned); callers with an external exactly-once
+guarantee can pass ``dedupe=False`` to skip that scan.
+
 New docs get doc_ints continuing after the current maximum, which means
 appended postings either open fresh segments or add extra block runs to the
 tail segment — both layouts the query kernels already handle (scoring is
@@ -22,6 +38,7 @@ from __future__ import annotations
 
 import time
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,17 +55,23 @@ def append_documents(
     index_dir: str,
     transcripts: DataFrame,
     config: IndexConfig | None = None,
+    dedupe: bool = True,
 ) -> dict:
-    """Append a batch of turns; returns counts.  One tokenize pass, one
-    small stats lookup, appends to docs/doc_terms/postings/doc_norms."""
+    """Append a batch of turns; returns counts.  One tokenize pass over the
+    batch, a small frozen-stats lookup, appends to docs/doc_terms/postings
+    — never a scan of the existing index tables (except the column-pruned
+    doc_id anti-join when ``dedupe=True``)."""
     cat = IndexCatalog(index_dir, config)
     cfg = cat.config
+    man = cat.manifest
     t0 = time.time()
     stats = cat.corpus_stats(spark)
     n_docs_frozen, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 1.0)
-    next_int = (
-        cat.read(spark, "docs").agg(F.max("doc_int").alias("m")).collect()[0]["m"] or -1
-    ) + 1
+    next_int = man.data.get("next_doc_int")
+    if next_int is None:  # pre-tracking index: one-time max lookup
+        next_int = (
+            cat.read(spark, "docs").agg(F.max("doc_int").alias("m")).collect()[0]["m"] or -1
+        ) + 1
 
     base = transcripts.select(
         doc_id_expr().alias("doc_id"),
@@ -58,13 +81,32 @@ def append_documents(
         "tool",
         "ts",
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
-    ).withColumn("doc_len", F.size(tokenize(F.col("text"), cfg.analyzer)))
-    new_docs = assign_doc_ints(base, "doc_id", cfg.build_partitions).withColumn(
-        "doc_int", F.col("doc_int") + F.lit(next_int)
     )
-    cat.write(new_docs, "docs", mode="append")
-    new_docs = spark.read.parquet(cat.table_dir("docs")).where(F.col("doc_int") >= next_int)
+    if dedupe:
+        # within-batch first (re-delivered rows inside one batch), then
+        # against the index: broadcast the batch's ids, column-pruned scan
+        base = base.dropDuplicates(["doc_id"])
+        existing = cat.read(spark, "docs").select("doc_id")
+        base = base.join(F.broadcast(existing.join(
+            F.broadcast(base.select("doc_id")), "doc_id", "left_semi"
+        )), "doc_id", "left_anti")
+    base = base.withColumn("doc_len", F.size(tokenize(F.col("text"), cfg.analyzer)))
+    new_docs = assign_doc_ints(base, "doc_id", cfg.build_partitions).withColumn(
+        "doc_int", F.col("doc_int") + F.lit(int(next_int))
+    )
+    # TRUNCATE LINEAGE before touching the index: the batch's plan reads the
+    # docs table (dedupe anti-join), and appending to that path triggers
+    # Spark's refreshByPath cache invalidation for every plan referencing it
+    # — a mere persist() would be dropped by the very write and downstream
+    # stages would silently re-evaluate against the already-appended table
+    # (anti-joining the batch out of existence).  localCheckpoint
+    # materializes the batch (batch-sized, not index-sized) and cuts the
+    # plan off the docs path.
+    new_docs = new_docs.localCheckpoint(eager=True)
     n_new = new_docs.count()
+    if n_new == 0:
+        return {"appended_docs": 0, "new_terms": 0, "elapsed_sec": round(time.time() - t0, 3)}
+    new_docs.write.mode("append").parquet(cat.table_dir("docs"))
 
     term_tf = _term_tf(new_docs, cfg)
     tstats = cat.read(spark, "term_stats").select("term", "idf")
@@ -76,6 +118,7 @@ def append_documents(
         F.col("batch_df"),
         F.col("idf").isNull().alias("is_new_term"),
     )
+    idf_map = idf_map.persist(StorageLevel.MEMORY_AND_DISK)
     weighted = (
         term_tf.join(F.broadcast(idf_map.select("term", "idf")), "term")
         .withColumn(
@@ -84,19 +127,23 @@ def append_documents(
         )
         .withColumn("tb", term_bucket_expr(F.col("term"), cfg.term_buckets))
     )
+    # consumed by norms, doc_terms, and the postings pack — all in-flight
+    weighted = weighted.persist(StorageLevel.MEMORY_AND_DISK)
     norms = weighted.groupBy("doc_int").agg(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
     )
-    norms.write.mode("append").parquet(cat.table_dir("doc_norms"))
     doc_terms = weighted.join(norms.withColumnRenamed("norm", "_n"), "doc_int").select(
         "tb", "term", "doc_int", "tf", "weight", F.col("_n").alias("norm")
     )
-    doc_terms.repartition(min(cfg.build_partitions, 8), "tb").write.mode("append").partitionBy(
-        "tb"
-    ).parquet(cat.table_dir("doc_terms"))
+    doc_terms.repartition(min(cfg.build_partitions, 8), "tb").sortWithinPartitions(
+        "term", "doc_int"
+    ).write.mode("append").partitionBy("tb").parquet(cat.table_dir("doc_terms"))
 
-    new_dt = spark.read.parquet(cat.table_dir("doc_terms")).where(F.col("doc_int") >= next_int)
-    packed = pack_doc_terms(new_dt, cfg.segment_docs, cfg.block_size)
+    # pack postings straight from the in-flight weighted frame (round 1
+    # re-read the whole doc_terms table here — O(index) per batch)
+    packed = pack_doc_terms(
+        weighted.select("term", "doc_int", "weight"), cfg.segment_docs, cfg.block_size
+    )
     packed.write.mode("append").partitionBy("seg").parquet(cat.table_dir("postings"))
 
     # register batch-new terms so query-time idf exists for them
@@ -110,8 +157,11 @@ def append_documents(
     n_new_terms = new_terms.count()
     if n_new_terms:
         new_terms.write.mode("append").parquet(cat.table_dir("term_stats"))
+    weighted.unpersist()
+    idf_map.unpersist()
+    new_docs.unpersist()  # releases the localCheckpoint blocks
 
-    man = cat.manifest
+    man.data["next_doc_int"] = int(next_int) + n_new
     appended = man.data.setdefault("appends", [])
     appended.append(
         {"docs": n_new, "new_terms": n_new_terms, "at": time.time(), "elapsed_sec": round(time.time() - t0, 3)}

@@ -1,24 +1,31 @@
 """Index build pipeline: transcripts → docs / term_stats / doc_terms /
-packed postings / doc_norms / corpus_stats, committed stage-by-stage through
-the manifest for resumability.
+packed postings / corpus_stats, committed stage-by-stage through the
+manifest for resumability.
 
 Replaces the reference's per-document serial encode+append write path
 (``src/splade_easy/index.py:133-205``, ``ingest/datasets.py:72-82`` — the
 acknowledged bottleneck) with three bulk Spark jobs:
 
   stage docs:     tokenize (JVM regexp, map-side) + deterministic doc_int
-                  assignment (one range shuffle) → docs table
+                  assignment (one hash-bucket shuffle) → docs table; corpus
+                  aggregates observed on the write job
   stage stats:    map-side per-doc tf (JVM tokenize + Arrow pandas count
                   kernel — NO token-grain shuffle) → term DF aggregation
-                  (the single term-keyed shuffle) → term_stats + corpus_stats
+                  (the single term-keyed shuffle) → term_stats + corpus_stats;
+                  hot-term threshold observed on the write job
   stage postings: tf rows ⨝ term_stats (broadcast when small) → BM25
                   weights → hot-term-salted repartition for the tb-bucketed
-                  doc_terms write + seg repartition into the streaming
-                  mapInPandas block packer → postings + doc_terms + doc_norms
+                  doc_terms write (norm denormalized in) + seg repartition
+                  into the streaming mapInPandas block packer → postings
 
-Shuffle budget at scale: one range shuffle (doc order), one term-stats agg,
-one term-keyed exchange for posting grouping (salted for hot terms), one
-doc-keyed agg for norms.  Everything else is map-side.
+Shuffle budget at scale: one doc-id shuffle, one term-stats agg, one
+term-keyed exchange for posting grouping (salted for hot terms), one
+doc-keyed agg for norms.  Everything else is map-side.  Driver-synchronous
+actions are minimized (they are the Amdahl serial term in N→4N scaling):
+5 real jobs per build, each doing only necessary data work — corpus stats
+and the hot-term threshold ride existing writes as observed metrics instead
+of separate agg actions, n_docs/n_terms come from parquet footers, and the
+doc-int assigner needs no range-sampling pass.
 """
 
 from __future__ import annotations
@@ -73,19 +80,56 @@ def _stage_docs(spark: SparkSession, transcripts: DataFrame, cat: IndexCatalog) 
         "ts",
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
     )
-    # doc_len AFTER the range shuffle: the range partitioner's sampling pass
-    # evaluates its input, so computing tokenize() downstream of the
-    # exchange tokenizes the corpus once instead of twice
-    docs = assign_doc_ints(base, "doc_id", cfg.build_partitions).withColumn(
-        "doc_len", F.size(tokenize(F.col("text"), cfg.analyzer))
+    # doc_len AFTER the id exchange so tokenize() runs once, downstream of
+    # the shuffle.  Corpus aggregates (n_docs, total_tokens) ride the write
+    # job as observed metrics — the stats stage then needs NO separate
+    # full-scan agg action (each driver-synchronous job is a fixed serial
+    # term in the N→4N scaling efficiency).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    docs = (
+        assign_doc_ints(base, "doc_id", cfg.build_partitions)
+        .withColumn("doc_len", F.size(tokenize(F.col("text"), cfg.analyzer)))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_len").alias("total_tokens"),
+        )
     )
     cat.write(docs, "docs")
-    return {"rows": cat.table_rows("docs")}
+    got = obs.get
+    return {
+        "rows": int(got["n_docs"]),
+        "total_tokens": int(got["total_tokens"] or 0),
+    }
+
+
+def _corpus_aggregates(spark: SparkSession, cat: IndexCatalog) -> tuple[int, float, int]:
+    """(n_docs, avgdl, total_tokens) — free from the docs-stage observed
+    metrics when they are current; one column-pruned agg job otherwise
+    (older index, or the docs table grew via appends since the build)."""
+    dm = cat.manifest.data.get("stages", {}).get("docs", {}).get("metrics", {})
+    n_physical = cat.table_rows("docs")  # parquet footers, no job
+    if dm.get("total_tokens") is not None and dm.get("rows") == n_physical:
+        n_docs, total = int(dm["rows"]), int(dm["total_tokens"])
+        return n_docs, (total / n_docs if n_docs else 0.0), total
+    agg = (
+        cat.read(spark, "docs")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg("doc_len").alias("avgdl"),
+            F.sum("doc_len").alias("total_tokens"),
+        )
+        .collect()[0]
+    )
+    return int(agg["n_docs"]), float(agg["avgdl"] or 0.0), int(agg["total_tokens"] or 0)
 
 
 def _stage_stats(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = None) -> dict:
     cfg = cat.config
     docs = cat.read(spark, "docs")
+    n_docs, avgdl, total_tokens = _corpus_aggregates(spark, cat)
     term_tf = _term_tf(docs, cfg)
     if ctx is not None:
         # one tokenize+tf pass serves both stats and postings stages
@@ -98,23 +142,33 @@ def _stage_stats(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = None
     tstats = term_tf.groupBy("term").agg(
         F.count("*").alias("df"), F.max("tf").alias("max_tf")
     )
-    agg = docs.agg(
-        F.count("*").alias("n_docs"),
-        F.avg("doc_len").alias("avgdl"),
-        F.sum("doc_len").alias("total_tokens"),
-    ).collect()[0]
-    n_docs, avgdl = int(agg["n_docs"]), float(agg["avgdl"] or 0.0)
     tstats = tstats.withColumn("idf", idf_expr(F.col("df"), n_docs)).withColumn(
         "tb", term_bucket_expr(F.col("term"), cfg.term_buckets)
     )
+    # hot-term df threshold (Zipfian head detection for the salted postings
+    # exchange) observed on the SAME write job — replaces round 1's separate
+    # approxQuantile driver action in the postings stage
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    tstats = tstats.observe(
+        obs,
+        F.percentile_approx("df", cfg.hot_term_df_quantile, 10_000).alias("thr"),
+    )
     cat.write(tstats, "term_stats")
-    n_terms = cat.table_rows("term_stats")
+    hot_thr = float(obs.get["thr"] or 1.0)
+    n_terms = cat.table_rows("term_stats")  # footers, no job
     stats_df = spark.createDataFrame(
-        [(n_docs, avgdl, int(agg["total_tokens"] or 0), n_terms)],
+        [(n_docs, avgdl, total_tokens, n_terms)],
         "n_docs LONG, avgdl DOUBLE, total_tokens LONG, n_terms LONG",
     )
     cat.write(stats_df, "corpus_stats")
-    return {"n_docs": n_docs, "avgdl": avgdl, "n_terms": n_terms}
+    return {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "n_terms": n_terms,
+        "hot_df_threshold": hot_thr,
+    }
 
 
 def _pack_frame(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
@@ -225,9 +279,18 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = N
     if term_tf is None:
         term_tf = _term_tf(docs, cfg)
 
-    # Hot-term detection for salting: terms whose df exceeds the configured
-    # quantile (Zipfian head — roles/tool names by construction).
-    df_threshold = tstats.approxQuantile("df", [cfg.hot_term_df_quantile], 0.001)[0]
+    # Hot-term df threshold: observed during the stats stage's term_stats
+    # write (Zipfian head — roles/tool names by construction); the
+    # approxQuantile fallback only fires for indexes built before the
+    # threshold was recorded.
+    df_threshold = (
+        cat.manifest.data.get("stages", {})
+        .get("stats", {})
+        .get("metrics", {})
+        .get("hot_df_threshold")
+    )
+    if df_threshold is None:
+        df_threshold = tstats.approxQuantile("df", [cfg.hot_term_df_quantile], 0.001)[0]
     tstats_sel = tstats.select("term", "df", "idf")
     tstats_b = F.broadcast(tstats_sel) if stats["n_terms"] < 2_000_000 else tstats_sel
 
@@ -239,17 +302,18 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = N
         )
         .withColumn("tb", term_bucket_expr(F.col("term"), cfg.term_buckets))
     )
-    # consumed twice (norms agg + doc_terms write) — persist to avoid
-    # re-running tokenize+tf+join; DISK spill-safe for large corpora
+    # consumed twice (doc_terms write incl. its norms agg + postings pack) —
+    # persist to avoid re-running tokenize+tf+join; DISK spill-safe
     from pyspark import StorageLevel
 
     weighted = weighted.persist(StorageLevel.MEMORY_AND_DISK)
 
+    # norm is denormalized into doc_terms (cosine scoring needs no
+    # query-time join); no separate doc_norms table — round 1 materialized
+    # one, costing an extra full agg+write job per build that nothing read
     norms = weighted.groupBy("doc_int").agg(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
     )
-    cat.write(norms, "doc_norms")
-    norms = cat.read(spark, "doc_norms")
 
     # hot-term set is tiny by construction (top (1-quantile) of terms by df)
     hot = F.broadcast(
@@ -277,10 +341,12 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = N
         partition_by=["tb"],
     )
 
-    # pack straight from the persisted in-memory frame — re-reading the
-    # just-written doc_terms parquet would cost a full extra table scan
+    # pack straight from the persisted frame — the pack needs only
+    # (term, doc_int, weight), so it skips the norms join entirely, and
+    # re-reading the just-written doc_terms parquet would cost a full extra
+    # table scan
     packed = pack_doc_terms(
-        doc_terms.select("term", "doc_int", "weight"), cfg.segment_docs, cfg.block_size
+        weighted.select("term", "doc_int", "weight"), cfg.segment_docs, cfg.block_size
     ).sortWithinPartitions("term", "block_id")
     cat.write(packed, "postings", partition_by=["seg"])
     weighted.unpersist()
@@ -292,7 +358,7 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = N
     return {
         "n_postings": n_postings,
         "n_blocks": n_blocks,
-        "hot_df_threshold": df_threshold,
+        "hot_df_threshold": float(df_threshold),
         "segment_docs": cfg.segment_docs,
     }
 
@@ -305,7 +371,7 @@ _STAGES = {
 _STAGE_TABLES = {
     "docs": {"docs": "docs"},
     "stats": {"term_stats": "term_stats", "corpus_stats": "corpus_stats"},
-    "postings": {"doc_terms": "doc_terms", "postings": "postings", "doc_norms": "doc_norms"},
+    "postings": {"doc_terms": "doc_terms", "postings": "postings"},
 }
 
 
@@ -350,8 +416,14 @@ def build_index(
         "term_buckets": cat.config.term_buckets,
         "build_partitions": cat.config.build_partitions,
     }
-    man.save()
     stats = cat.corpus_stats(spark)
+    # appends continue after the densely-assigned build ids (0..n_docs-1);
+    # when the docs stage was skipped (resume), keep the appended watermark
+    if "docs" in run:
+        man.data["next_doc_int"] = int(stats["n_docs"])
+    else:
+        man.data.setdefault("next_doc_int", int(stats["n_docs"]))
+    man.save()
     return BuildResult(
         index_dir=str(index_dir),
         n_docs=int(stats["n_docs"]),

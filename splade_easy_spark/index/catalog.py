@@ -6,13 +6,16 @@ for ``spark.read/write.format("iceberg")`` + snapshot commits without
 touching the build or query code (SURVEY.md §1.4).  Table names are fixed:
 
 - ``docs``         doc_id, conv_id, turn_idx, role, tool, ts, text, doc_len, doc_int
-- ``doc_terms``    exploded postings: tb, term, doc_int, tf, weight (SQL/debug path)
-- ``postings``     packed blocks: tb, term, salt, block_id, n, doc_min, doc_max,
-                   max_weight, docs BINARY, wts BINARY (WAND path)
-- ``term_stats``   term, df, idf, max_weight, tb
-- ``doc_norms``    doc_int, norm (L2 of the doc's BM25 weight vector — cosine mode)
+- ``doc_terms``    exploded postings: tb, term, doc_int, tf, weight, norm
+                   (SQL path; norm = L2 of the doc's weight vector,
+                   denormalized in so cosine scoring needs no join)
+- ``postings``     packed blocks, hive-partitioned by doc segment:
+                   seg, term, block_id, n, doc_min, doc_max, max_weight,
+                   docs BINARY (varbyte deltas), wts BINARY (float32 LE)
+                   (WAND path)
+- ``term_stats``   term, df, max_tf, idf, tb
 - ``corpus_stats`` single row: n_docs, avgdl, total_tokens, n_terms
-- ``deleted``      doc_id (tombstones; analog of deleted_ids.txt,
+- ``deleted``      doc_id, doc_int (tombstones; analog of deleted_ids.txt,
                    ``src/splade_easy/index.py:80-89``)
 """
 
@@ -26,7 +29,7 @@ from pyspark.sql import functions as F
 from splade_easy_spark.config import IndexConfig
 from splade_easy_spark.index.manifest import Manifest
 
-TABLES = ["docs", "doc_terms", "postings", "term_stats", "doc_norms", "corpus_stats", "deleted"]
+TABLES = ["docs", "doc_terms", "postings", "term_stats", "corpus_stats", "deleted"]
 
 
 def term_bucket_expr(term_col, buckets: int):

@@ -1,21 +1,44 @@
 """Scalable deterministic dense doc-int assignment.
 
-Posting compression (delta + varbyte) and block-max WAND both need a total
-integer order over documents.  A global ``row_number()`` window would funnel
-100 TB through one partition; ``monotonically_increasing_id`` depends on the
-physical partitioning (different ids at local[8] vs local[32]).  Instead:
-the classic two-phase zip-with-index —
+Posting compression (delta + varbyte), block-max WAND, and the engine's
+pinned tie-break (score DESC, doc_id ASC — resolved on ``doc_int``) all
+need ``doc_int`` to equal the **global rank of doc_id** in sort order.  A
+global ``row_number()`` window would funnel 100 TB through one partition;
+``monotonically_increasing_id`` depends on the physical partitioning
+(different ids at local[8] vs local[32]).  Instead, a two-phase plan where
+everything wide happens exactly once:
 
-1. range-partition + sort by ``doc_id`` (one shuffle, the sort we'd need
-   anyway for an ordered docs table);
-2. count rows per partition (cheap agg), cumulative offsets on the driver
-   (P integers, tiny), broadcast;
-3. a ``mapInPandas`` pass adds ``offset[pid] + local ordinal``.
+1. **skinny pass** — project ONLY the key column (Catalyst prunes
+   text/metadata out of the parquet scan), range-partition it (the range
+   sampling sub-pass therefore reads just the key column too), and collect
+   per-partition ``(max_key, count)``: that is an *exact* ordered boundary
+   list plus exact per-range counts, P rows to the driver;
+2. **wide pass** — the full rows get their range bucket from a broadcast
+   ``searchsorted`` over those boundaries (vectorized Arrow kernel, exact:
+   every key was seen in pass 1), one repartition-by-bucket exchange, a
+   sort within partitions, and a ``mapInPandas`` pass assigns
+   ``offset[bucket] + ordinal within bucket``.
 
-The resulting ``doc_int`` equals the *rank of doc_id in the global sort
-order* — independent of partition count or boundary sampling, so the index
-artifact is identical at any parallelism (required for the N-vs-4N scaling
-evidence and for resumable rebuilds).
+``doc_int`` = rank of doc_id in the global sort order — independent of
+parallelism, boundary sampling, and AQE decisions (boundaries only shape
+partition sizes; offset + within-range rank is the global rank regardless),
+so the index artifact is identical at any cluster size (required for the
+N-vs-4N scaling evidence and resumable rebuilds).  The docs table comes out
+range-major sorted by doc_id, which keeps parquet row-group min/max pruning
+sharp for point lookups.
+
+Compared to round 1 (range-partition the FULL rows + persist the whole
+corpus + count): the sampling pass and the counting pass now read only the
+key column, and nothing corpus-sized is ever cached (the round-1 persist
+also leaked — never unpersisted — accumulating executor storage under
+streaming appenders that assign ids per micro-batch).
+
+Preconditions: ``key`` values are unique (doc_id is the document identity;
+duplicate transcript keys should be deduplicated upstream — the append path
+does) and the input is deterministic across the two passes (parquet/Iceberg
+sources and foreachBatch frames are; a bare ``limit`` is not).  The kernel
+raises if a bucket receives more rows than pass 1 counted, so a
+nondeterministic input fails loudly instead of corrupting ids.
 """
 
 from __future__ import annotations
@@ -28,35 +51,74 @@ from pyspark.sql import functions as F
 
 
 def assign_doc_ints(df: DataFrame, key: str = "doc_id", partitions: int = 32) -> DataFrame:
-    """Add a ``doc_int`` LONG column = dense rank of ``key`` ascending."""
-    parted = (
-        df.repartitionByRange(partitions, F.col(key))
-        .sortWithinPartitions(key)
+    """Add a ``doc_int`` LONG column = dense global rank of ``key`` ascending."""
+    # ---- pass 1: skinny — exact range boundaries + counts, P driver rows
+    ids = df.select(F.col(key).alias("_k"))
+    ranges = (
+        ids.repartitionByRange(partitions, F.col("_k"))
         .withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.max("_k").alias("mx"), F.count("*").alias("cnt"))
+        .collect()
     )
-    parted = parted.persist()
-    counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets: dict[int, int] = {}
+    ranges.sort(key=lambda r: r["_pid"])
+    boundaries = [r["mx"] for r in ranges]  # strictly increasing (unique keys)
+    counts = [int(r["cnt"]) for r in ranges]
+    offsets = []
     acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for c in counts:
+        offsets.append(acc)
+        acc += c
 
     spark = df.sparkSession
-    b_offsets = spark.sparkContext.broadcast(offsets)
-    out_schema = parted.drop("_pid").schema.add("doc_int", "long", False)
+    b_bounds = spark.sparkContext.broadcast(boundaries)
+    b_off = spark.sparkContext.broadcast(offsets)
+    b_cnt = spark.sparkContext.broadcast(counts)
+
+    # ---- pass 2: wide — bucket by boundary, one exchange, ordinal assign
+    import numpy as np
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def bucket_of(k: pd.Series) -> pd.Series:
+        bounds = np.array(b_bounds.value, dtype=object)
+        if len(bounds) == 0:
+            return pd.Series(np.zeros(len(k), dtype=np.int32))
+        # first range whose max >= key — exact, every key was seen in pass 1
+        pos = np.searchsorted(bounds, k.to_numpy(dtype=object), side="left")
+        return pd.Series(pos.astype(np.int32))
+
+    parted = (
+        df.withColumn("_b", bucket_of(F.col(key)))
+        .repartition(partitions, F.col("_b"))
+        .sortWithinPartitions(key)  # ranges are key-ordered ⇒ buckets form runs
+    )
+    out_schema = df.schema.add("doc_int", "long", False)
 
     def add_ordinal(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
+        seen: dict[int, int] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            pid = int(pdf["_pid"].iloc[0])
-            start = b_offsets.value.get(pid, 0) + local
-            out = pdf.drop(columns=["_pid"])
-            out["doc_int"] = range(start, start + len(pdf))
-            local += len(pdf)
+            bs = pdf["_b"].to_numpy()
+            change = np.flatnonzero(bs[1:] != bs[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pdf)]))
+            out_ids = np.empty(len(pdf), dtype=np.int64)
+            for s, e in zip(starts, ends):
+                b = int(bs[s])
+                done = seen.get(b, 0)
+                n = int(e - s)
+                if done + n > b_cnt.value[b]:
+                    raise RuntimeError(
+                        f"assign_doc_ints: range {b} received more rows than "
+                        "counted — input is nondeterministic between passes"
+                    )
+                start_id = b_off.value[b] + done
+                out_ids[s:e] = np.arange(start_id, start_id + n)
+                seen[b] = done + n
+            out = pdf.drop(columns=["_b"])
+            out["doc_int"] = out_ids
             yield out
 
-    result = parted.mapInPandas(add_ordinal, schema=out_schema)
-    return result
+    return parted.mapInPandas(add_ordinal, schema=out_schema)

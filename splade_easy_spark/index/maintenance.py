@@ -31,17 +31,22 @@ from splade_easy_spark.index.builder import pack_doc_terms
 from splade_easy_spark.index.catalog import IndexCatalog
 
 
-def _swap_in(cat: IndexCatalog, name: str) -> None:
+def _swap_in(cat: IndexCatalog, name: str, keep_old: bool = False) -> None:
     """Promote ``<name>__rewrite`` to ``<name>`` (old moved away first so a
-    failure between the two renames cannot leave a half-written live dir)."""
+    failure between the two renames cannot leave a half-written live dir).
+    With ``keep_old`` the previous layout is retained as ``<name>__backup``
+    for ``rollback_reshard`` — the analog of the reference's
+    ``keep_originals`` renaming shards to ``.fb.backup``
+    (``src/splade_easy/reshard.py:22,102-115``)."""
     live = Path(cat.table_dir(name))
     new = live.with_name(live.name + "__rewrite")
-    trash = live.with_name(live.name + "__old")
+    trash = live.with_name(live.name + ("__backup" if keep_old else "__old"))
     if trash.exists():
         shutil.rmtree(trash)
     live.rename(trash)
     new.rename(live)
-    shutil.rmtree(trash)
+    if not keep_old:
+        shutil.rmtree(trash)
 
 
 def _gc_rewrite_dirs(cat: IndexCatalog) -> None:
@@ -89,22 +94,19 @@ def compact(spark: SparkSession, index_dir: str, config: IndexConfig | None = No
         cat.table_dir("doc_terms") + "__rewrite"
     )
 
-    norms = cat.read(spark, "doc_norms").join(F.broadcast(dead), "doc_int", "left_anti")
-    norms.write.parquet(cat.table_dir("doc_norms") + "__rewrite")
-
     dt_new = spark.read.parquet(cat.table_dir("doc_terms") + "__rewrite")
     packed = pack_doc_terms(dt_new, cfg.segment_docs, cfg.block_size).sortWithinPartitions(
         "term", "block_id"
     )
     packed.write.partitionBy("seg").parquet(cat.table_dir("postings") + "__rewrite")
 
-    for t in ["docs", "doc_terms", "doc_norms", "postings"]:
+    for t in ["docs", "doc_terms", "postings"]:
         _swap_in(cat, t)
     shutil.rmtree(cat.table_dir("deleted"), ignore_errors=True)
 
     cat.manifest.record_stage(
         "compact",
-        {t: t for t in ["docs", "doc_terms", "doc_norms", "postings"]},
+        {t: t for t in ["docs", "doc_terms", "postings"]},
         {"removed": n_dead, "elapsed_sec": round(time.time() - t0, 3)},
     )
     return {"removed": n_dead, "elapsed_sec": round(time.time() - t0, 3)}
@@ -117,11 +119,15 @@ def reshard(
     target_partitions: int | None = None,
     segment_docs: int | None = None,
     block_size: int | None = None,
+    keep_originals: bool = False,
 ) -> dict:
     """Rewrite index layout (partition count / segment size / block size)
     preserving content byte-for-byte at the logical level — the analog of
     ``IndexResharder.reshard`` (``src/splade_easy/reshard.py:126-195``).
-    Returns before/after layout stats."""
+    With ``keep_originals`` the previous layout is retained as
+    ``<table>__backup`` dirs (the reference's ``.fb.backup`` shards,
+    ``src/splade_easy/reshard.py:22,102-115``) and ``rollback_reshard``
+    restores it.  Returns before/after layout stats."""
     cat = IndexCatalog(index_dir, config)
     cfg = cat.config
     t0 = time.time()
@@ -139,14 +145,17 @@ def reshard(
     dt_new = spark.read.parquet(cat.table_dir("doc_terms") + "__rewrite")
     packed = pack_doc_terms(dt_new, seg_docs, bs).sortWithinPartitions("term", "block_id")
     packed.write.partitionBy("seg").parquet(cat.table_dir("postings") + "__rewrite")
-    for t in ["doc_terms", "postings"]:
-        _swap_in(cat, t)
-
     man = cat.manifest
+    prior_layout = dict(man.data.get("layout", {}))
+    for t in ["doc_terms", "postings"]:
+        _swap_in(cat, t, keep_old=keep_originals)
+
     man.data.setdefault("layout", {})
     man.data["layout"].update(
         {"segment_docs": seg_docs, "block_size": bs, "build_partitions": parts}
     )
+    if keep_originals:
+        man.data["reshard_backup"] = {"layout": prior_layout, "at": time.time()}
     man.record_stage(
         "reshard",
         {"doc_terms": "doc_terms", "postings": "postings"},
@@ -154,6 +163,34 @@ def reshard(
     )
     after = stats(spark, index_dir)
     return {"before": before, "after": after, "elapsed_sec": round(time.time() - t0, 3)}
+
+
+def rollback_reshard(index_dir: str) -> dict:
+    """Restore the layout preserved by ``reshard(keep_originals=True)`` —
+    the analog of the reference's backup-shard restore
+    (``src/splade_easy/index.py:268-288``).  Pure directory renames (no
+    Spark job); raises if no backup exists."""
+    cat = IndexCatalog(index_dir)
+    man = cat.manifest
+    backup = man.data.pop("reshard_backup", None)
+    restored = []
+    for t in ["doc_terms", "postings"]:
+        live = Path(cat.table_dir(t))
+        bak = live.with_name(live.name + "__backup")
+        if not bak.exists():
+            continue
+        if live.exists():
+            shutil.rmtree(live)
+        bak.rename(live)
+        restored.append(t)
+    if not restored:
+        raise FileNotFoundError(f"no __backup dirs under {index_dir} to roll back")
+    if backup and backup.get("layout"):
+        man.data["layout"] = backup["layout"]
+    man.data["stages"].pop("reshard", None)
+    # re-record lineage for the restored dirs so resume/verify_table trusts them
+    man.record_stage("rollback", {t: t for t in restored}, {"restored": restored})
+    return {"restored": restored}
 
 
 def stats(spark: SparkSession, index_dir: str) -> dict:
@@ -170,7 +207,7 @@ def stats(spark: SparkSession, index_dir: str) -> dict:
     # delete while vectors stay fixed, src/splade_easy/index.py:218)
     n_physical = cat.table_rows("docs")
     tables = {}
-    for t in ["docs", "doc_terms", "postings", "doc_norms", "term_stats"]:
+    for t in ["docs", "doc_terms", "postings", "term_stats"]:
         p = Path(cat.table_dir(t))
         files = list(p.rglob("*.parquet")) if p.exists() else []
         tables[t] = {

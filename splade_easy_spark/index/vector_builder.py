@@ -76,8 +76,13 @@ def build_vector_index(
         F.col("e.token_ids").cast("string").alias("term"),
         F.col("e.weights").cast("double").alias("weight"),
     )
-    # dedup keeping max weight — the reference's vector invariant
+    # dedup keeping max weight — the reference's vector invariant; consumed
+    # by term_stats, doc_terms (incl. its in-flight norms agg — no separate
+    # doc_norms table, norm is denormalized into doc_terms), and the pack
+    from pyspark import StorageLevel
+
     doc_terms_raw = docs_v.groupBy("doc_int", "term").agg(F.max("weight").alias("weight"))
+    doc_terms_raw = doc_terms_raw.persist(StorageLevel.MEMORY_AND_DISK)
 
     tstats = doc_terms_raw.groupBy("term").agg(
         F.count("*").alias("df"), F.max("weight").alias("max_weight")
@@ -98,8 +103,6 @@ def build_vector_index(
     norms = doc_terms_raw.groupBy("doc_int").agg(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
     )
-    cat.write(norms, "doc_norms")
-    norms = cat.read(spark, "doc_norms")
     doc_terms = (
         doc_terms_raw.join(norms, "doc_int")
         .withColumn("tb", term_bucket_expr(F.col("term"), cfg.term_buckets))
@@ -110,14 +113,14 @@ def build_vector_index(
         "doc_terms",
         partition_by=["tb"],
     )
-    dt = spark.read.parquet(cat.table_dir("doc_terms"))
-    packed = pack_doc_terms(dt, cfg.segment_docs, cfg.block_size).sortWithinPartitions(
-        "term", "block_id"
-    )
+    packed = pack_doc_terms(
+        doc_terms_raw, cfg.segment_docs, cfg.block_size
+    ).sortWithinPartitions("term", "block_id")
     cat.write(packed, "postings", partition_by=["seg"])
+    doc_terms_raw.unpersist()
     man.record_stage(
         "postings",
-        {"doc_terms": "doc_terms", "postings": "postings", "doc_norms": "doc_norms"},
+        {"doc_terms": "doc_terms", "postings": "postings"},
         {"n_postings": cat.table_rows("doc_terms")},
     )
     man.data["layout"] = {
@@ -126,6 +129,7 @@ def build_vector_index(
         "term_buckets": cfg.term_buckets,
         "build_partitions": cfg.build_partitions,
     }
+    man.data["next_doc_int"] = int(agg["n"])
     man.save()
     return {
         "n_docs": int(agg["n"]),

@@ -62,9 +62,17 @@ def to_transcripts(df: DataFrame, cfg: IngestConfig) -> DataFrame:
         conv = F.col(cfg.id_column).cast("string")
         turn = F.lit(0)
     else:
-        # synthesized id, cf. datasets.py:38 — content-hash based, stable
+        # synthesized id, cf. datasets.py:38 — content-hash based, stable.
+        # Duplicate texts collide on the hash, so a per-hash ordinal rides
+        # the turn slot (doc_id becomes doc_<hash>#<ordinal>) — each copy
+        # keeps a distinct, stable doc_id instead of round 1's duplicate
+        # doc_id rows (ambiguous get/delete, double search hits).
+        from pyspark.sql import Window
+
         conv = F.concat(F.lit("doc_"), F.substring(F.sha2(text, 256), 1, 16))
-        turn = F.lit(0)
+        turn = (
+            F.row_number().over(Window.partitionBy(conv).orderBy(conv)) - 1
+        )
     meta = (
         F.to_json(F.struct(*[F.col(c).cast("string").alias(c) for c in cfg.metadata_columns]))
         if cfg.metadata_columns

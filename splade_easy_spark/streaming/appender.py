@@ -5,9 +5,12 @@ append-only ingest CLI (``src/splade_easy/ingest/datasets.py:63-82``).
 Here the same incremental-append operator that serves batch ingest becomes
 a streaming sink via ``foreachBatch`` — each micro-batch of transcript
 turns is tokenized, weighted against the frozen statistics, and committed,
-giving an always-queryable, eventually-refreshed index.  Exactly-once:
-``foreachBatch`` + the append path's idempotent doc keys (re-delivered
-turns overwrite by (conv_id, turn_idx) doc_id on the next compact/refresh).
+giving an always-queryable, eventually-refreshed index.  Exactly-once at
+the doc_id grain: ``append_documents(dedupe=True)`` dedups the batch within
+itself and anti-joins it against the existing docs table, so a re-delivered
+micro-batch (foreachBatch is at-least-once across restarts) appends nothing
+instead of double-registering — asserted by
+tests/test_append_streaming.py::test_append_redelivery_is_idempotent.
 
 ``turn_rate`` shows the conventional watermarked windowed aggregation over
 the same input shape (late-data tolerant ingest monitoring).

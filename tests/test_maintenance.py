@@ -88,3 +88,35 @@ def test_stats_counts(spark, small_index):
     st2 = stats(spark, idx_dir)
     assert st2["num_docs"] == res.n_docs - 1
     assert st2["num_deleted"] == 1
+
+
+def test_reshard_keep_originals_and_rollback(spark, tmp_path):
+    """reshard(keep_originals=True) retains the prior layout as __backup
+    dirs (reference .fb.backup analog, src/splade_easy/reshard.py:102-115)
+    and rollback_reshard restores it with identical search results."""
+    from pathlib import Path
+
+    from splade_easy_spark.index.maintenance import rollback_reshard
+
+    idx = str(tmp_path / "idx")
+    tx = generate_transcripts(spark, num_convs=6, seed=29)
+    build_index(spark, tx, idx, CFG)
+    s0 = Searcher(spark, idx, CFG)
+    before = [(r["doc_id"], round(r["score"], 9)) for r in s0.search("baba0 ceba1", 10).collect()]
+    files_before = sorted(p.name for p in Path(idx, "postings").rglob("*.parquet"))
+
+    reshard(spark, idx, CFG, segment_docs=64, block_size=16, keep_originals=True)
+    assert Path(idx, "doc_terms__backup").exists()
+    assert Path(idx, "postings__backup").exists()
+    s1 = Searcher(spark, idx, CFG)
+    mid = [(r["doc_id"], round(r["score"], 9)) for r in s1.search("baba0 ceba1", 10).collect()]
+    assert mid == before  # reshard preserves logical content
+
+    out = rollback_reshard(idx)
+    assert set(out["restored"]) == {"doc_terms", "postings"}
+    assert not Path(idx, "postings__backup").exists()
+    files_after = sorted(p.name for p in Path(idx, "postings").rglob("*.parquet"))
+    assert files_after == files_before  # original physical layout restored
+    s2 = Searcher(spark, idx, CFG)
+    after = [(r["doc_id"], round(r["score"], 9)) for r in s2.search("baba0 ceba1", 10).collect()]
+    assert after == before

@@ -25,7 +25,7 @@ def test_manifest_lineage_recorded(spark, tmp_path):
     build_index(spark, tx, idx_dir, CFG)
     man = json.loads((Path(idx_dir) / "_manifest.json").read_text())
     assert set(man["stages"]) == {"docs", "stats", "postings"}
-    for t in ["docs", "doc_terms", "postings", "term_stats", "corpus_stats", "doc_norms"]:
+    for t in ["docs", "doc_terms", "postings", "term_stats", "corpus_stats"]:
         files = man["tables"][t]["files"]
         assert files, f"no lineage for {t}"
         for f in files:
@@ -56,7 +56,7 @@ def test_resume_skips_completed_stages(spark, tmp_path):
     man_a = json.loads((Path(idx_a) / "_manifest.json").read_text())
     man_b = json.loads((Path(idx_b) / "_manifest.json").read_text())
     # identical content lineage (deterministic build ⇒ identical file hashes)
-    for t in ["docs", "doc_terms", "term_stats", "corpus_stats", "doc_norms", "postings"]:
+    for t in ["docs", "doc_terms", "term_stats", "corpus_stats", "postings"]:
         ha = sorted(f["sha256"] for f in man_a["tables"][t]["files"])
         hb = sorted(f["sha256"] for f in man_b["tables"][t]["files"])
         assert ha == hb, f"lineage mismatch in {t}"
