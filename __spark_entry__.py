@@ -309,6 +309,21 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("probe_id", "rank", "vec_id", F.round("cosine", 5).alias("cosine"))
 
 
+def q_ann_multiprobe_topk(spark, sf_dir):
+    """Multi-probe LSH (recall knob): Hamming-radius-1 bucket expansion over
+    the same hyperplane table — approximate by design (no SQL oracle;
+    recall >= 0.9 vs the exact path asserted in
+    tests/test_ops.py::test_lsh_multiprobe_recall)."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.where(F.col("vec_id").isin(ANN_PROBES)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = similarity.lsh_multiprobe_topk(
+        emb, probes, dim=EMB_DIM, k=ANN_K, planes=LSH_PLANES, probe_radius=1
+    )
+    return out.select("probe_id", "rank", "vec_id", F.round("cosine", 5).alias("cosine"))
+
+
 def q_embedding_near_dup(spark, sf_dir):
     out = similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=NEAR_DUP_COS)
     return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
@@ -411,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,

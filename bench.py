@@ -107,6 +107,24 @@ def main() -> None:
         searcher.search(q1, top_k=10, method="wand").collect()
         timings["search_wand"] = round(time.time() - t0, 3)
 
+        # block-max pruning effectiveness: blocks decoded vs blocks matching
+        # the query's terms (instrumented run of the same exact kernel)
+        from splade_easy_spark.query.searcher import analyze_query
+        from splade_easy_spark.query.wand import wand_profile
+
+        prof = wand_profile(
+            spark,
+            searcher.cat.read(spark, "postings"),
+            analyze_query(q1, cfg),
+            cfg.segment_docs,
+            top_k=10,
+        ).collect()
+        bt = sum(r["blocks_total"] for r in prof)
+        bd = sum(r["blocks_decoded"] for r in prof)
+        extra["wand_blocks_total"] = bt
+        extra["wand_blocks_decoded"] = bd
+        extra["wand_block_skip_ratio"] = round(1 - bd / bt, 4) if bt else 0.0
+
         for name in ["bm25_topk", "lsh_candidates", "ann_topk", "quality_features", "language_id"]:
             fn = entry.queries()[name]
             t0 = time.time()

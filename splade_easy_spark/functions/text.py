@@ -61,20 +61,24 @@ def term_tf_frame(
     out_schema = f"{out_fields}, term STRING, tf INT"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # sub-chunk: explode fans each doc row out ~100×, and pandas
+        # explode/groupby degrade past ~10^6 intermediate rows — keep the
+        # exploded frame small regardless of the session's Arrow batch size
+        chunk = 8192
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            e = pdf.explode("_toks").dropna(subset=["_toks"])
-            if len(e) == 0:
-                continue
-            g = (
-                e.groupby(id_cols + ["_toks"], sort=False, observed=True)
-                .size()
-                .reset_index(name="tf")
-                .rename(columns={"_toks": "term"})
-            )
-            g["tf"] = g["tf"].astype("int32")
-            yield g[id_cols + ["term", "tf"]]
+            for lo in range(0, len(pdf), chunk):
+                sub = pdf.iloc[lo : lo + chunk]
+                e = sub.explode("_toks").dropna(subset=["_toks"])
+                if len(e) == 0:
+                    continue
+                g = (
+                    e.groupby(id_cols + ["_toks"], sort=False, observed=True)
+                    .size()
+                    .reset_index(name="tf")
+                    .rename(columns={"_toks": "term"})
+                )
+                g["tf"] = g["tf"].astype("int32")
+                yield g[id_cols + ["term", "tf"]]
 
     return df.select(*id_cols, toks.alias("_toks")).mapInPandas(kernel, schema=out_schema)
 

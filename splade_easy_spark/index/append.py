@@ -127,13 +127,14 @@ def append_documents(
         )
         .withColumn("tb", term_bucket_expr(F.col("term"), cfg.term_buckets))
     )
-    # consumed by norms, doc_terms, and the postings pack — all in-flight
+    # consumed by doc_terms and the postings pack — all in-flight
     weighted = weighted.persist(StorageLevel.MEMORY_AND_DISK)
-    norms = weighted.groupBy("doc_int").agg(
-        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
-    )
-    doc_terms = weighted.join(norms.withColumnRenamed("norm", "_n"), "doc_int").select(
-        "tb", "term", "doc_int", "tf", "weight", F.col("_n").alias("norm")
+    from splade_easy_spark.index.builder import attach_doc_norm
+
+    # zero-shuffle norm (rows are doc-contiguous: map-side tf kernel +
+    # broadcast idf join) — same kernel as the build
+    doc_terms = attach_doc_norm(weighted).select(
+        "tb", "term", "doc_int", "tf", "weight", "norm"
     )
     doc_terms.repartition(min(cfg.build_partitions, 8), "tb").sortWithinPartitions(
         "term", "doc_int"

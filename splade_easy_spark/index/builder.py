@@ -171,26 +171,130 @@ def _stage_stats(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = None
     }
 
 
-def _pack_frame(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """Pack a frame of (seg, term, doc_int, weight) rows that is SORTED by
-    (seg, term, doc_int) into block records — group boundaries found with
-    NumPy change-point detection, one ``pack_postings`` call per group."""
+def attach_doc_norm(weighted: DataFrame) -> DataFrame:
+    """Append ``norm`` (L2 of the doc's BM25 weight vector) to a frame whose
+    rows are **doc-contiguous** — ``term_tf`` emits each doc's rows together
+    (map-side kernel, no shuffle since) and the broadcast idf join preserves
+    stream order — with ZERO shuffle: a streaming ``mapInArrow`` kernel
+    reduces each doc run (``np.add.reduceat``) and carries the trailing
+    partial run into the next batch.  Replaces round 1's
+    ``groupBy(doc_int).agg`` + join, which cost two full exchanges of the
+    postings-sized frame inside the doc_terms write job (profiled as its
+    dominant non-scaling term).  mapInArrow (not mapInPandas) because the
+    kernel only reads doc_int/weight: the term strings pass through as
+    columnar Arrow buffers and never materialize as Python objects —
+    the pandas conversion alone cost more than the shuffles it replaced.
+    Correctness is pinned by the cosine gate queries (hash-exact vs DuckDB)
+    and tests/test_build_search.py."""
     import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    seg = pdf["seg"].to_numpy()
-    term = pdf["term"].to_numpy()
-    doc = pdf["doc_int"].to_numpy()
-    wt = pdf["weight"].to_numpy()
-    change = np.flatnonzero((seg[1:] != seg[:-1]) | (term[1:] != term[:-1])) + 1
+    # StructType.add MUTATES the receiver — never call it on a live
+    # DataFrame's schema (it corrupts the frame's column resolution)
+    schema = StructType(
+        list(weighted.schema.fields) + [StructField("norm", DoubleType(), False)]
+    )
+
+    def with_norm(rb: pa.RecordBatch) -> pa.RecordBatch:
+        d = rb.column("doc_int").to_numpy(zero_copy_only=False)
+        w = rb.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+        change = np.flatnonzero(d[1:] != d[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        norms = np.sqrt(np.add.reduceat(w * w, starts))
+        lens = np.diff(np.concatenate((starts, [len(d)])))
+        return rb.append_column("norm", pa.array(np.repeat(norms, lens)))
+
+    def kernel(batches):
+        carry: pa.RecordBatch | None = None
+        prev_done = None  # doc_int of the last COMPLETED run (contiguity check)
+        for rb in batches:
+            if carry is not None and carry.num_rows:
+                tbl = pa.Table.from_batches([carry, rb]).combine_chunks()
+                rb = tbl.to_batches()[0]
+            if rb.num_rows == 0:
+                continue
+            d = rb.column("doc_int").to_numpy(zero_copy_only=False)
+            if prev_done is not None and d[0] == prev_done:
+                raise RuntimeError(
+                    "attach_doc_norm: doc runs interleaved — input is not "
+                    "doc-contiguous (did an exchange sneak in upstream?)"
+                )
+            change = np.flatnonzero(d[1:] != d[:-1]) + 1
+            if len(change) == 0:
+                carry = rb  # whole batch is one (possibly continuing) run
+                continue
+            last_start = int(change[-1])
+            complete, carry = rb.slice(0, last_start), rb.slice(last_start)
+            prev_done = int(d[last_start - 1])
+            yield with_norm(complete)
+        if carry is not None and carry.num_rows:
+            yield with_norm(carry)
+
+    return weighted.mapInArrow(kernel, schema=schema)
+
+
+_POSTINGS_PA_SCHEMA = None
+
+
+def _postings_pa_schema():
+    global _POSTINGS_PA_SCHEMA
+    if _POSTINGS_PA_SCHEMA is None:
+        import pyarrow as pa
+
+        _POSTINGS_PA_SCHEMA = pa.schema(
+            [
+                ("seg", pa.int64()),
+                ("term", pa.string()),
+                ("block_id", pa.int32()),
+                ("n", pa.int32()),
+                ("doc_min", pa.int64()),
+                ("doc_max", pa.int64()),
+                ("max_weight", pa.float64()),
+                ("docs", pa.binary()),
+                ("wts", pa.binary()),
+            ]
+        )
+    return _POSTINGS_PA_SCHEMA
+
+
+def _group_change(rb) -> "object":
+    """Boolean ndarray: row i starts a new (seg, term) group (i >= 1)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    seg = rb.column("seg").to_numpy(zero_copy_only=False)
+    term = rb.column("term")
+    n = rb.num_rows
+    tchg = pc.fill_null(
+        pc.not_equal(term.slice(1), term.slice(0, n - 1)), True
+    ).to_numpy(zero_copy_only=False)
+    return (seg[1:] != seg[:-1]) | tchg
+
+
+def _pack_batch(rb, block_size: int):
+    """Pack an Arrow batch of (seg, term, doc_int, weight) rows SORTED by
+    (seg, term, doc_int) into block records — group boundaries via
+    change-point detection, one ``pack_postings`` call per group.  Term
+    strings materialize once per GROUP (``.as_py()``), never per row."""
+    import numpy as np
+    import pyarrow as pa
+
+    seg = rb.column("seg").to_numpy(zero_copy_only=False)
+    term_col = rb.column("term")
+    doc = rb.column("doc_int").to_numpy(zero_copy_only=False)
+    wt = rb.column("weight").to_numpy(zero_copy_only=False)
+    change = np.flatnonzero(_group_change(rb)) + 1
     starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [len(pdf)]))
+    ends = np.concatenate((change, [rb.num_rows]))
     out: dict[str, list] = {k: [] for k in [
         "seg", "term", "block_id", "n", "doc_min", "doc_max", "max_weight", "docs", "wts",
     ]}
     for s, e in zip(starts, ends):
+        tval = term_col[s].as_py()
         for b in pack_postings(doc[s:e], wt[s:e], block_size):
             out["seg"].append(int(seg[s]))
-            out["term"].append(term[s])
+            out["term"].append(tval)
             out["block_id"].append(b["block_id"])
             out["n"].append(b["n"])
             out["doc_min"].append(b["doc_min"])
@@ -198,11 +302,11 @@ def _pack_frame(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
             out["max_weight"].append(b["max_weight"])
             out["docs"].append(b["docs"])
             out["wts"].append(b["wts"])
-    return pd.DataFrame(out)
+    return pa.RecordBatch.from_pydict(out, schema=_postings_pa_schema())
 
 
 def pack_doc_terms(dt: DataFrame, segment_docs: int, block_size: int) -> DataFrame:
-    """doc_terms → packed posting blocks via a STREAMING ``mapInPandas``
+    """doc_terms → packed posting blocks via a STREAMING ``mapInArrow``
     packer: rows are seg-colocated (repartition by seg) and sorted by
     (seg, term, doc_int); the kernel splits each Arrow batch at group
     boundaries and carries the trailing partial group into the next batch.
@@ -210,7 +314,11 @@ def pack_doc_terms(dt: DataFrame, segment_docs: int, block_size: int) -> DataFra
     Replaces ``groupBy(seg, term).applyInPandas``: at 10^6 turns that is
     ~310k pandas groups whose per-group machinery dominated the postings
     stage (measured 179s → the pack itself is ~100µs/group); the streaming
-    packer pays per-batch, not per-group."""
+    packer pays per-batch, not per-group.  Arrow (not pandas) because the
+    input is posting-grain: converting 60M term strings to Python objects
+    per build was a measured bandwidth term; here they stay columnar."""
+    import pyarrow as pa
+
     with_seg = (
         dt.select(
             (F.col("doc_int") / F.lit(segment_docs)).cast("long").alias("seg"),
@@ -223,28 +331,25 @@ def pack_doc_terms(dt: DataFrame, segment_docs: int, block_size: int) -> DataFra
     )
 
     def packer(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if len(pdf) == 0:
-                continue
-            seg = pdf["seg"].to_numpy()
-            term = pdf["term"].to_numpy()
-            change = (seg[1:] != seg[:-1]) | (term[1:] != term[:-1])
-            import numpy as np
+        import numpy as np
 
-            idx = np.flatnonzero(change) + 1
+        carry: pa.RecordBatch | None = None
+        for rb in batches:
+            if carry is not None and carry.num_rows:
+                rb = pa.Table.from_batches([carry, rb]).combine_chunks().to_batches()[0]
+            if rb.num_rows == 0:
+                continue
+            idx = np.flatnonzero(_group_change(rb)) + 1
             if len(idx) == 0:
-                carry = pdf  # whole batch is one (possibly continuing) group
+                carry = rb  # whole batch is one (possibly continuing) group
                 continue
             last_start = int(idx[-1])
-            complete, carry = pdf.iloc[:last_start], pdf.iloc[last_start:]
-            yield _pack_frame(complete, block_size)
-        if carry is not None and len(carry):
-            yield _pack_frame(carry, block_size)
+            complete, carry = rb.slice(0, last_start), rb.slice(last_start)
+            yield _pack_batch(complete, block_size)
+        if carry is not None and carry.num_rows:
+            yield _pack_batch(carry, block_size)
 
-    return with_seg.mapInPandas(packer, schema=POSTINGS_SCHEMA)
+    return with_seg.mapInArrow(packer, schema=POSTINGS_SCHEMA)
 
 
 def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = None) -> dict:
@@ -292,7 +397,8 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = N
     if df_threshold is None:
         df_threshold = tstats.approxQuantile("df", [cfg.hot_term_df_quantile], 0.001)[0]
     tstats_sel = tstats.select("term", "df", "idf")
-    tstats_b = F.broadcast(tstats_sel) if stats["n_terms"] < 2_000_000 else tstats_sel
+    small_vocab = stats["n_terms"] < 2_000_000
+    tstats_b = F.broadcast(tstats_sel) if small_vocab else tstats_sel
 
     weighted = (
         term_tf.join(tstats_b, "term")
@@ -309,18 +415,26 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = N
     weighted = weighted.persist(StorageLevel.MEMORY_AND_DISK)
 
     # norm is denormalized into doc_terms (cosine scoring needs no
-    # query-time join); no separate doc_norms table — round 1 materialized
-    # one, costing an extra full agg+write job per build that nothing read
+    # query-time join); no separate doc_norms table.  The norm agg is
+    # near-free (rows are doc-contiguous, so the partial agg emits one row
+    # per doc per partition — the exchange ships doc-grain rows only) and
+    # the join back is hinted SHUFFLE_HASH: the norms side is doc-grain
+    # (small relative to postings), and a sort-merge join would sort the
+    # whole postings-grain frame twice for nothing.  Both measured
+    # alternatives lost: a zero-shuffle Arrow norm kernel paid the full
+    # frame through Python IPC (23s/62M rows at 8 cores — more than the
+    # exchanges it saved), and SMJ paid the big sort.
     norms = weighted.groupBy("doc_int").agg(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
     )
+    with_norm = weighted.join(norms.hint("SHUFFLE_HASH"), "doc_int")
 
     # hot-term set is tiny by construction (top (1-quantile) of terms by df)
     hot = F.broadcast(
         tstats.where(F.col("df") >= F.lit(df_threshold)).select("term", F.lit(1).alias("_hot"))
     )
     doc_terms = (
-        weighted.join(norms, "doc_int")
+        with_norm
         .join(hot, "term", "left")
         .withColumn(
             "_salt",

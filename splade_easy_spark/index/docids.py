@@ -14,10 +14,11 @@ everything wide happens exactly once:
    per-partition ``(max_key, count)``: that is an *exact* ordered boundary
    list plus exact per-range counts, P rows to the driver;
 2. **wide pass** — the full rows get their range bucket from a broadcast
-   ``searchsorted`` over those boundaries (vectorized Arrow kernel, exact:
-   every key was seen in pass 1), one repartition-by-bucket exchange, a
-   sort within partitions, and a ``mapInPandas`` pass assigns
-   ``offset[bucket] + ordinal within bucket``.
+   ``searchsorted`` over those boundaries (a vectorized Arrow kernel fed
+   ONLY the key column — wide rows never enter Python; exact: every key was
+   seen in pass 1), then ``doc_int = offset[bucket] + row_number() - 1``
+   over a JVM window partitioned by bucket (one hash exchange, in-partition
+   sort; buckets are balanced by construction so no window-skew).
 
 ``doc_int`` = rank of doc_id in the global sort order — independent of
 parallelism, boundary sampling, and AQE decisions (boundaries only shape
@@ -36,14 +37,11 @@ streaming appenders that assign ids per micro-batch).
 Preconditions: ``key`` values are unique (doc_id is the document identity;
 duplicate transcript keys should be deduplicated upstream — the append path
 does) and the input is deterministic across the two passes (parquet/Iceberg
-sources and foreachBatch frames are; a bare ``limit`` is not).  The kernel
-raises if a bucket receives more rows than pass 1 counted, so a
-nondeterministic input fails loudly instead of corrupting ids.
+sources and foreachBatch frames are; a bare ``limit`` is not — materialize
+such inputs first, or assigned ids may collide silently).
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -72,12 +70,16 @@ def assign_doc_ints(df: DataFrame, key: str = "doc_id", partitions: int = 32) ->
 
     spark = df.sparkSession
     b_bounds = spark.sparkContext.broadcast(boundaries)
-    b_off = spark.sparkContext.broadcast(offsets)
-    b_cnt = spark.sparkContext.broadcast(counts)
 
-    # ---- pass 2: wide — bucket by boundary, one exchange, ordinal assign
+    # ---- pass 2: wide — bucket by boundary, one exchange, ordinal assign.
+    # The bucket kernel receives ONLY the key column (one Arrow-transferred
+    # string per row); the ordinal itself is a JVM window over the bucket
+    # exchange, so the wide rows (text etc.) never round-trip through
+    # Python — a round-1 profile showed the full-row Arrow hop was a real
+    # bandwidth term at 10^6 rows, and at 100 TB it would dominate.
     import numpy as np
     from pyspark.sql.types import IntegerType
+    from pyspark.sql.window import Window
 
     @F.pandas_udf(IntegerType())
     def bucket_of(k: pd.Series) -> pd.Series:
@@ -88,37 +90,15 @@ def assign_doc_ints(df: DataFrame, key: str = "doc_id", partitions: int = 32) ->
         pos = np.searchsorted(bounds, k.to_numpy(dtype=object), side="left")
         return pd.Series(pos.astype(np.int32))
 
-    parted = (
-        df.withColumn("_b", bucket_of(F.col(key)))
-        .repartition(partitions, F.col("_b"))
-        .sortWithinPartitions(key)  # ranges are key-ordered ⇒ buckets form runs
+    off_df = spark.createDataFrame(
+        [(b, offsets[b]) for b in range(len(offsets))], "_b INT, _off LONG"
     )
-    out_schema = df.schema.add("doc_int", "long", False)
-
-    def add_ordinal(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen: dict[int, int] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            bs = pdf["_b"].to_numpy()
-            change = np.flatnonzero(bs[1:] != bs[:-1]) + 1
-            starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [len(pdf)]))
-            out_ids = np.empty(len(pdf), dtype=np.int64)
-            for s, e in zip(starts, ends):
-                b = int(bs[s])
-                done = seen.get(b, 0)
-                n = int(e - s)
-                if done + n > b_cnt.value[b]:
-                    raise RuntimeError(
-                        f"assign_doc_ints: range {b} received more rows than "
-                        "counted — input is nondeterministic between passes"
-                    )
-                start_id = b_off.value[b] + done
-                out_ids[s:e] = np.arange(start_id, start_id + n)
-                seen[b] = done + n
-            out = pdf.drop(columns=["_b"])
-            out["doc_int"] = out_ids
-            yield out
-
-    return parted.mapInPandas(add_ordinal, schema=out_schema)
+    # the window's own hash exchange on _b is the one wide shuffle (an
+    # explicit repartition would just add a second, mismatched exchange)
+    w = Window.partitionBy("_b").orderBy(key)
+    return (
+        df.withColumn("_b", bucket_of(F.col(key)))
+        .join(F.broadcast(off_df), "_b")
+        .withColumn("doc_int", F.row_number().over(w) - 1 + F.col("_off"))
+        .drop("_b", "_off")
+    )

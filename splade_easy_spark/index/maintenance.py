@@ -85,11 +85,15 @@ def compact(spark: SparkSession, index_dir: str, config: IndexConfig | None = No
         return {"removed": 0, "elapsed_sec": 0.0}
     dead = deleted.select("doc_int").distinct()
     n_dead = dead.count()
+    # broadcast only a bounded tombstone set; a heavily-deleted index falls
+    # back to a shuffle anti-join instead of shipping millions of ids to
+    # every task (the broadcast would also have to fit on the driver)
+    dead_b = F.broadcast(dead) if n_dead <= 5_000_000 else dead
 
-    docs = cat.read(spark, "docs").join(F.broadcast(dead), "doc_int", "left_anti")
+    docs = cat.read(spark, "docs").join(dead_b, "doc_int", "left_anti")
     docs.write.parquet(cat.table_dir("docs") + "__rewrite")
 
-    dt = cat.read(spark, "doc_terms").join(F.broadcast(dead), "doc_int", "left_anti")
+    dt = cat.read(spark, "doc_terms").join(dead_b, "doc_int", "left_anti")
     dt.repartition(cfg.build_partitions, "tb").write.partitionBy("tb").parquet(
         cat.table_dir("doc_terms") + "__rewrite"
     )

@@ -120,7 +120,43 @@ def main() -> None:
         "JVM compute (frequency throttling / steal at full subscription), so",
         "≥0.8 job efficiency is unobservable there regardless of the engine.",
         "2→8 stays below the saturation knee and the probe itself scales ≥4×,",
-        "making it the honest N→4N proxy.  Each leg runs under",
+        "making it the honest N→4N proxy.",
+        "",
+        "## The Arrow-IPC ceiling (what bounds the build number)",
+        "",
+        "A second probe isolates the Python-kernel data path: a ZERO-compute",
+        "`mapInArrow` passthrough of 62M (long, double, string) rows — no",
+        "kernel work, no shuffle, noop sink.  Measured (pinned, tmpfs):",
+        "",
+        "| threads | passthrough wall (s) | efficiency 2→8 |",
+        "|---|---|---|",
+        "| 2 | 37.2 | — |",
+        "| 8 | 17.1–18.2 | **0.51–0.54** |",
+        "",
+        "The IPC hop burns ~2× the CPU-seconds at 8 cores vs 2 (memory-",
+        "subsystem contention across the per-task JVM-writer/Python-worker",
+        "pairs; local[6]/local[4] on the same 8 pinned cores are SLOWER, so",
+        "it is not slot spin).  This is a single-box artifact: on a real",
+        "cluster the Arrow hop is executor-local and its bandwidth is",
+        "per-executor constant — adding executors multiplies it, exactly like",
+        "the per-executor shuffle disks the tmpfs trick models.",
+        "",
+        "Per-stage scaling, measured on the same corpus (pinned 2 vs 8):",
+        "",
+        "| build stage | kind | efficiency |",
+        "|---|---|---|",
+        "| tokenize+tf → term_stats write | JVM scan + Arrow tf kernel | 0.85–0.91 |",
+        "| weighted materialization (cache) | JVM codegen + broadcast join | ~1.0 |",
+        "| shuffle exchange (62M rows) | JVM | 0.84 |",
+        "| doc_terms write | JVM aggs/joins + parquet | 0.56–0.70 |",
+        "| postings pack + write | **Arrow kernel (probe-bound)** + parquet | 0.69 |",
+        "",
+        "Every stage that stays JVM-side scales at or near the hardware",
+        "envelope; the stages carrying the posting-pack custom kernel (the",
+        "one genuinely custom data path — varbyte/block-max packing, exactly",
+        "what the north star specifies as a vectorized Arrow UDF) track the",
+        "IPC probe's 0.51 ceiling, which bounds the composite build figure",
+        "below 0.8 **on this box**.  Each leg runs under",
         "`taskset -c 0-(N-1)` so the ENTIRE process tree (JVM helper threads,",
         "Arrow Python workers) is pinned to exactly N cores — `local[N]`",
         "alone only caps task slots and lets helper threads leak onto spare",
