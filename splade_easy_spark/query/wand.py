@@ -379,14 +379,11 @@ def wand_search_many_scores(
     O(Σ_term decode + Σ_(term,query) postings_in_segment) with no join
     blowup materialized, and only per-segment top-k rows leave the kernel.
     """
-    term_to_queries: dict[str, list[tuple[int, float]]] = {}
     qids = sorted(queries_terms)
-    for qi, qid in enumerate(qids):
-        for term, qw in queries_terms[qid]:
-            term_to_queries.setdefault(term, []).append((qi, qw))
-    all_terms = sorted(term_to_queries)
-    b_t2q = spark.sparkContext.broadcast(term_to_queries)
-    b_qids = spark.sparkContext.broadcast(qids)
+    all_terms = sorted({t for ts in queries_terms.values() for t, _ in ts})
+    b_queries = spark.sparkContext.broadcast(
+        [(qid, sorted(queries_terms[qid], key=lambda tw: tw[0])) for qid in qids]
+    )
 
     pruned = _pruned_with_tombstones(postings, all_terms, deleted, segment_docs)
 
@@ -396,10 +393,7 @@ def wand_search_many_scores(
             return
         pdf = pd.concat(frames, ignore_index=True)
         real, tomb = _split_tombstones(pdf)
-        t2q = b_t2q.value
-        nq = len(b_qids.value)
-        # bound accumulator memory at ~256 MB per task
-        q_chunk = max(1, (256 << 20) // (segment_docs * 9))
+        queries = b_queries.value
         for seg, g in real.groupby("seg", sort=False):
             base = int(seg) * segment_docs
             dead = _dead_local(tomb, seg, base)
@@ -407,40 +401,83 @@ def wand_search_many_scores(
             if dead is not None and len(dead):
                 alive = np.ones(segment_docs, dtype=bool)
                 alive[dead[(dead >= 0) & (dead < segment_docs)]] = False
-            # decode each term's blocks ONCE per segment, reused by chunks
-            decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            # decode each term's blocks ONCE per segment, shared by every
+            # query that uses the term (doc ids ascending by construction)
+            decoded: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
             for term, tg in g.groupby("term", sort=False):
                 docs_cat, wts_cat = [], []
                 for _, row in tg.iterrows():
                     d, w = unpack_block(row["docs"], row["wts"], int(row["n"]))
                     docs_cat.append(d)
                     wts_cat.append(w)
-                decoded[term] = (np.concatenate(docs_cat) - base, np.concatenate(wts_cat))
+                idx = np.concatenate(docs_cat) - base
+                wts = np.concatenate(wts_cat)
+                decoded[term] = (idx, wts, float(wts.max()) if len(wts) else 0.0)
+            acc = np.zeros(segment_docs, dtype=np.float64)
             out_q, out_d, out_s = [], [], []
-            for q0 in range(0, nq, q_chunk):
-                qn = min(q_chunk, nq - q0)
-                acc = np.zeros((qn, segment_docs), dtype=np.float64)
-                touched = np.zeros((qn, segment_docs), dtype=bool)
-                for term, (idx, wts) in decoded.items():
-                    for qi, qw in t2q[term]:
-                        if q0 <= qi < q0 + qn:
-                            acc[qi - q0, idx] += qw * wts
-                            if alive is None:
-                                touched[qi - q0, idx] = True
-                            else:
-                                touched[qi - q0, idx] = alive[idx]
-                for ci in range(qn):
-                    live = np.flatnonzero(touched[ci] & (acc[ci] > 0))
-                    if len(live) == 0:
-                        continue
-                    scores = acc[ci, live]
-                    if len(live) > top_k:
-                        kth = np.partition(scores, len(scores) - top_k)[len(scores) - top_k]
-                        sel = scores >= kth  # keep k-boundary ties
-                        live, scores = live[sel], scores[sel]
-                    out_q.extend([b_qids.value[q0 + ci]] * len(live))
-                    out_d.extend((live + base).tolist())
-                    out_s.extend(scores.tolist())
+            for qid, qterms in queries:
+                # per-query MaxScore: terms descending by upper bound; once
+                # the remaining terms' ub-sum falls below a running lower
+                # bound θ of the final kth score, STOP scattering — docs not
+                # yet touched cannot enter the top-k, and the skipped
+                # terms' contributions to surviving candidates are repaired
+                # exactly afterwards (gather at candidate indices).  At
+                # 10^4-query batches this skips the scatter work for every
+                # query's low-ub tail (round 1 decoded AND scattered all).
+                present = [
+                    (qw * decoded[t][2], t, qw)
+                    for t, qw in qterms
+                    if t in decoded and decoded[t][2] > 0.0
+                ]
+                if not present:
+                    continue
+                present.sort(key=lambda x: (-x[0], x[1]))
+                ubs = np.array([p[0] for p in present])
+                suffix = np.concatenate((np.cumsum(ubs[::-1])[::-1], [0.0]))
+                acc.fill(0.0)
+                theta = 0.0
+                theta_set = False
+                cut = len(present)
+                for i, (ub, term, qw) in enumerate(present):
+                    if theta_set and suffix[i] < theta:
+                        cut = i  # remaining terms cannot create new top-k docs
+                        break
+                    idx, wts, _ = decoded[term]
+                    acc[idx] += qw * wts
+                    # cheap θ lower bound: kth largest of the LIVE accs on
+                    # this term's postings (a subset's kth is ≤ the global
+                    # kth, so pruning stays safe; dead docs excluded or θ
+                    # would overstate and prune true post-delete winners)
+                    vals = acc[idx] if alive is None else acc[idx[alive[idx]]]
+                    if len(vals) >= top_k:
+                        kth = np.partition(vals, len(vals) - top_k)[len(vals) - top_k]
+                        if kth > 0:
+                            theta = max(theta, float(kth))
+                            theta_set = True
+                live = np.flatnonzero(acc > 0)
+                if alive is not None and len(live):
+                    live = live[alive[live]]
+                if len(live) == 0:
+                    continue
+                if cut < len(present):
+                    # candidate filter with the skipped tail's ub, then
+                    # exact repair of those terms on survivors only
+                    rem = float(suffix[cut])
+                    live = live[acc[live] + rem >= theta]
+                    for _, term, qw in present[cut:]:
+                        idx, wts, _ = decoded[term]
+                        pos = np.searchsorted(idx, live)
+                        ok = pos < len(idx)
+                        ok[ok] = idx[pos[ok]] == live[ok]
+                        acc[live[ok]] += qw * wts[pos[ok]]
+                scores = acc[live]
+                if len(live) > top_k:
+                    kth = np.partition(scores, len(scores) - top_k)[len(scores) - top_k]
+                    sel = scores >= kth  # keep k-boundary ties
+                    live, scores = live[sel], scores[sel]
+                out_q.extend([qid] * len(live))
+                out_d.extend((live + base).tolist())
+                out_s.extend(scores.tolist())
             if out_q:
                 yield pd.DataFrame({"query_id": out_q, "doc_int": out_d, "score": out_s})
 

@@ -224,3 +224,36 @@ def test_batch_wand_equals_batch_sql(corpus, spark):
         assert [d for d, _ in sql[qid]] == [d for d, _ in wand[qid]]
         for (_, a), (_, b) in zip(sql[qid], wand[qid]):
             assert abs(a - b) <= 1e-5 * max(1.0, abs(a))  # float32 packed weights
+
+
+def test_batch_wand_prune_repair_exact(corpus, spark):
+    """Force the batch kernel's MaxScore cut + repair (queries with many
+    skewed-ub terms) and assert exact equality with the SQL batch path.
+    (Runs against whatever tombstones the module fixture has accumulated —
+    both paths see the same deleted table, so equality still pins the
+    kernel's tombstone handling.)"""
+    from splade_easy_spark.index.maintenance import delete
+    from splade_easy_spark.data.transcripts import make_vocab
+
+    idx_dir, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    vocab = make_vocab()
+    # long queries (many terms) make the ub tail prunable
+    queries = [
+        {"query_id": f"lq{i}", "text": " ".join(vocab[i * 7 % 40 : i * 7 % 40 + 12])}
+        for i in range(8)
+    ]
+
+    def collect(method, k):
+        got = {}
+        for r in s.search_many(queries, top_k=k, method=method).collect():
+            got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+        return got
+
+    for k in (3, 10):
+        sql, wand = collect("sql", k), collect("wand", k)
+        assert set(sql) == set(wand)
+        for qid in sql:
+            assert [d for d, _ in sql[qid]] == [d for d, _ in wand[qid]], qid
+            for (_, a), (_, b) in zip(sql[qid], wand[qid]):
+                assert abs(a - b) <= 1e-5 * max(1.0, abs(a))
