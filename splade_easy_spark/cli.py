@@ -138,7 +138,30 @@ def cmd_reshard(args) -> int:
         target_partitions=args.partitions,
         segment_docs=args.segment_docs,
         block_size=args.block_size,
+        keep_originals=args.keep_originals,
     )
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_rollback_reshard(args) -> int:
+    from splade_easy_spark.index.maintenance import rollback_reshard
+
+    print(json.dumps(rollback_reshard(args.index)))
+    return 0
+
+
+def cmd_append(args) -> int:
+    """Incremental append of a transcript parquet table — the reference's
+    ``add_batch`` as a CLI verb (``src/splade_easy/index.py:168-205``)."""
+    from splade_easy_spark.index.append import append_documents, refresh_stats
+
+    spark = _spark(args)
+    out = append_documents(
+        spark, args.index, spark.read.parquet(args.input), dedupe=not args.no_dedupe
+    )
+    if args.refresh_stats:
+        out["refresh"] = refresh_stats(spark, args.index)
     print(json.dumps(out))
     return 0
 
@@ -191,7 +214,19 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--partitions", type=int, default=None)
     r.add_argument("--segment-docs", type=int, default=None)
     r.add_argument("--block-size", type=int, default=None)
+    r.add_argument("--keep-originals", action="store_true")
     r.set_defaults(fn=cmd_reshard)
+
+    rb = sub.add_parser("rollback-reshard")
+    rb.add_argument("--index", required=True)
+    rb.set_defaults(fn=cmd_rollback_reshard)
+
+    a = sub.add_parser("append")
+    a.add_argument("--input", required=True)
+    a.add_argument("--index", required=True)
+    a.add_argument("--no-dedupe", action="store_true")
+    a.add_argument("--refresh-stats", action="store_true")
+    a.set_defaults(fn=cmd_append)
 
     args = p.parse_args(argv)
     return args.fn(args)

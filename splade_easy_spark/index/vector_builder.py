@@ -136,3 +136,116 @@ def build_vector_index(
         "elapsed_sec": round(time.time() - t0, 3),
         "index_dir": str(index_dir),
     }
+
+
+def append_vector_documents(
+    spark: SparkSession,
+    index_dir: str,
+    documents: DataFrame,
+    config: IndexConfig | None = None,
+    dedupe: bool = True,
+) -> dict:
+    """Incremental vector-mode append — the reference's ``add``/``add_batch``
+    over pre-weighted documents (``src/splade_easy/index.py:133-205``).
+    Vector weights are supplied by the caller, so unlike the BM25 text path
+    there is NO statistics freeze/drift: appended docs carry exactly the
+    scores they would get in a fresh build.  O(batch) per call: doc_ints
+    continue from the manifest watermark, postings/doc_terms pack from the
+    in-flight frame, and with ``dedupe`` a re-delivered batch appends
+    nothing (idempotent at the doc_id grain, same contract as the text
+    appender)."""
+    from pyspark import StorageLevel
+
+    from splade_easy_spark.index.builder import pack_doc_terms
+
+    cat = IndexCatalog(index_dir, config)
+    cfg = cat.config
+    man = cat.manifest
+    t0 = time.time()
+    if man.data.get("identity", {}).get("mode") != "vector":
+        raise ValueError("append_vector_documents requires a vector-mode index")
+    next_int = man.data.get("next_doc_int")
+    if next_int is None:
+        next_int = (
+            cat.read(spark, "docs").agg(F.max("doc_int").alias("m")).collect()[0]["m"] or -1
+        ) + 1
+
+    cols = documents.columns
+    base = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (F.col("text") if "text" in cols else F.lit(None).cast("string")).alias("text"),
+        (
+            F.col("metadata")
+            if "metadata" in cols
+            else F.lit(None).cast("map<string,string>")
+        ).alias("metadata"),
+        F.col("token_ids"),
+        F.col("weights"),
+        F.size("token_ids").alias("doc_len"),
+    )
+    if dedupe:
+        base = base.dropDuplicates(["doc_id"])
+        existing = cat.read(spark, "docs").select("doc_id")
+        base = base.join(
+            F.broadcast(existing.join(F.broadcast(base.select("doc_id")), "doc_id", "left_semi")),
+            "doc_id",
+            "left_anti",
+        )
+    new_docs = assign_doc_ints(base, "doc_id", cfg.build_partitions).withColumn(
+        "doc_int", F.col("doc_int") + F.lit(int(next_int))
+    )
+    # lineage truncation before touching the index (see index/append.py:
+    # appending to a read path invalidates every cached plan referencing it)
+    new_docs = new_docs.localCheckpoint(eager=True)
+    n_new = new_docs.count()
+    if n_new == 0:
+        return {"appended_docs": 0, "elapsed_sec": round(time.time() - t0, 3)}
+    new_docs.drop("token_ids", "weights").write.mode("append").parquet(cat.table_dir("docs"))
+
+    docs_v = new_docs.select(
+        "doc_int", F.explode(F.arrays_zip("token_ids", "weights")).alias("e")
+    ).select(
+        "doc_int",
+        F.col("e.token_ids").cast("string").alias("term"),
+        F.col("e.weights").cast("double").alias("weight"),
+    )
+    doc_terms_raw = docs_v.groupBy("doc_int", "term").agg(F.max("weight").alias("weight"))
+    doc_terms_raw = doc_terms_raw.persist(StorageLevel.MEMORY_AND_DISK)
+    norms = doc_terms_raw.groupBy("doc_int").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
+    )
+    doc_terms = (
+        doc_terms_raw.join(norms, "doc_int")
+        .withColumn("tb", term_bucket_expr(F.col("term"), cfg.term_buckets))
+        .select("tb", "term", "doc_int", F.lit(1).alias("tf"), "weight", "norm")
+    )
+    doc_terms.repartition(min(cfg.build_partitions, 8), "tb").sortWithinPartitions(
+        "term", "doc_int"
+    ).write.mode("append").partitionBy("tb").parquet(cat.table_dir("doc_terms"))
+    packed = pack_doc_terms(doc_terms_raw, cfg.segment_docs, cfg.block_size)
+    packed.write.mode("append").partitionBy("seg").parquet(cat.table_dir("postings"))
+
+    # register batch-new terms (df/max_weight at batch grain)
+    tstats_new = (
+        doc_terms_raw.groupBy("term")
+        .agg(F.count("*").alias("df"), F.max("weight").alias("max_weight"))
+        .join(cat.read(spark, "term_stats").select("term"), "term", "left_anti")
+        .withColumn("tb", term_bucket_expr(F.col("term"), cfg.term_buckets))
+    )
+    n_new_terms = tstats_new.count()
+    if n_new_terms:
+        tstats_new.write.mode("append").parquet(cat.table_dir("term_stats"))
+    doc_terms_raw.unpersist()
+    new_docs.unpersist()
+
+    man.data["next_doc_int"] = int(next_int) + n_new
+    man.data.setdefault("appends", []).append(
+        {"docs": n_new, "new_terms": n_new_terms, "at": time.time(),
+         "elapsed_sec": round(time.time() - t0, 3)}
+    )
+    man.save()
+    return {
+        "appended_docs": n_new,
+        "new_terms": n_new_terms,
+        "elapsed_sec": round(time.time() - t0, 3),
+    }

@@ -148,3 +148,35 @@ def test_seeded_realistic_vectors_vs_numpy(spark, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in expected[:10]]
         for (gd, gs), (ed, es) in zip(got, expected[:10]):
             assert abs(gs - es) < TOL * max(1.0, abs(es))
+
+
+def test_vector_append_matches_oneshot_and_is_idempotent(spark, tmp_path):
+    """append_vector_documents == fresh build over the union (vector mode
+    has no statistics freeze: weights are caller-supplied), and a
+    re-delivered batch appends nothing."""
+    from splade_easy_spark.index import append_vector_documents
+
+    rng = np.random.default_rng(77)
+    def mk(i):
+        n = int(rng.integers(5, 30))
+        ids = sorted(int(x) for x in rng.choice(2000, size=n, replace=False))
+        w = [float(x) for x in rng.uniform(0.01, 2.0, size=n).astype(np.float32)]
+        return (f"doc_{i:03d}", None, None, ids, w)
+    first = [mk(i) for i in range(40)]
+    rest = [mk(i) for i in range(40, 60)]
+
+    idx_a, idx_b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_vector_index(spark, spark.createDataFrame(first + rest, SCHEMA), idx_a, CFG)
+    build_vector_index(spark, spark.createDataFrame(first, SCHEMA), idx_b, CFG)
+    out = append_vector_documents(spark, idx_b, spark.createDataFrame(rest, SCHEMA), CFG)
+    assert out["appended_docs"] == len(rest)
+    # redelivery: nothing appended
+    out2 = append_vector_documents(spark, idx_b, spark.createDataFrame(rest, SCHEMA), CFG)
+    assert out2["appended_docs"] == 0
+
+    sa, sb = Searcher(spark, idx_a, CFG), Searcher(spark, idx_b, CFG)
+    q = vector_query_terms([7, 42, 1999, 1500], [1.0, 0.5, 2.0, 0.25])
+    for method in ("sql", "wand"):
+        ra = [(r["doc_id"], round(r["score"], 6)) for r in sa.search(q, 20, method=method).collect()]
+        rb = [(r["doc_id"], round(r["score"], 6)) for r in sb.search(q, 20, method=method).collect()]
+        assert ra == rb, method
