@@ -132,18 +132,20 @@ def append_documents(
     from splade_easy_spark.index.builder import attach_doc_norm
 
     # zero-shuffle norm (rows are doc-contiguous: map-side tf kernel +
-    # broadcast idf join) — same kernel as the build
-    doc_terms = attach_doc_norm(weighted).select(
-        "tb", "term", "doc_int", "tf", "weight", "norm"
-    )
+    # broadcast idf join) — same kernel as the build; consumed by both the
+    # doc_terms write and the pack (norm feeds the cosine-mode nweights)
+    with_norm = attach_doc_norm(weighted).persist(StorageLevel.MEMORY_AND_DISK)
+    doc_terms = with_norm.select("tb", "term", "doc_int", "tf", "weight", "norm")
     doc_terms.repartition(min(cfg.build_partitions, 8), "tb").sortWithinPartitions(
         "term", "doc_int"
     ).write.mode("append").partitionBy("tb").parquet(cat.table_dir("doc_terms"))
 
-    # pack postings straight from the in-flight weighted frame (round 1
-    # re-read the whole doc_terms table here — O(index) per batch)
+    # pack postings straight from the in-flight frame (round 1 re-read the
+    # whole doc_terms table here — O(index) per batch)
     packed = pack_doc_terms(
-        weighted.select("term", "doc_int", "weight"), cfg.segment_docs, cfg.block_size
+        with_norm.select("term", "doc_int", "weight", "norm"),
+        cfg.segment_docs,
+        cfg.block_size,
     )
     packed.write.mode("append").partitionBy("seg").parquet(cat.table_dir("postings"))
 
@@ -158,6 +160,7 @@ def append_documents(
     n_new_terms = new_terms.count()
     if n_new_terms:
         new_terms.write.mode("append").parquet(cat.table_dir("term_stats"))
+    with_norm.unpersist()
     weighted.unpersist()
     idf_map.unpersist()
     new_docs.unpersist()  # releases the localCheckpoint blocks

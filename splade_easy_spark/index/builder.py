@@ -47,7 +47,8 @@ from splade_easy_spark.index.postings import pack_postings
 
 POSTINGS_SCHEMA = (
     "seg LONG, term STRING, block_id INT, n INT, doc_min LONG, "
-    "doc_max LONG, max_weight DOUBLE, docs BINARY, wts BINARY"
+    "doc_max LONG, max_weight DOUBLE, docs BINARY, wts BINARY, "
+    "max_nweight DOUBLE, nwts BINARY"
 )
 
 
@@ -253,6 +254,8 @@ def _postings_pa_schema():
                 ("max_weight", pa.float64()),
                 ("docs", pa.binary()),
                 ("wts", pa.binary()),
+                ("max_nweight", pa.float64()),
+                ("nwts", pa.binary()),
             ]
         )
     return _POSTINGS_PA_SCHEMA
@@ -273,10 +276,13 @@ def _group_change(rb) -> "object":
 
 
 def _pack_batch(rb, block_size: int):
-    """Pack an Arrow batch of (seg, term, doc_int, weight) rows SORTED by
-    (seg, term, doc_int) into block records — group boundaries via
-    change-point detection, one ``pack_postings`` call per group.  Term
-    strings materialize once per GROUP (``.as_py()``), never per row."""
+    """Pack an Arrow batch of (seg, term, doc_int, weight, nweight) rows
+    SORTED by (seg, term, doc_int) into block records — group boundaries
+    via change-point detection, one ``pack_postings`` call per group.  Term
+    strings materialize once per GROUP (``.as_py()``), never per row.
+    ``nweight`` = weight/‖doc‖ rides along so cosine scoring is the same
+    dot-product kernel over the normalized stream (its block max is the
+    cosine block-max bound)."""
     import numpy as np
     import pyarrow as pa
 
@@ -284,15 +290,17 @@ def _pack_batch(rb, block_size: int):
     term_col = rb.column("term")
     doc = rb.column("doc_int").to_numpy(zero_copy_only=False)
     wt = rb.column("weight").to_numpy(zero_copy_only=False)
+    nwt = rb.column("nweight").to_numpy(zero_copy_only=False)
     change = np.flatnonzero(_group_change(rb)) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [rb.num_rows]))
     out: dict[str, list] = {k: [] for k in [
-        "seg", "term", "block_id", "n", "doc_min", "doc_max", "max_weight", "docs", "wts",
+        "seg", "term", "block_id", "n", "doc_min", "doc_max", "max_weight",
+        "docs", "wts", "max_nweight", "nwts",
     ]}
     for s, e in zip(starts, ends):
         tval = term_col[s].as_py()
-        for b in pack_postings(doc[s:e], wt[s:e], block_size):
+        for b in pack_postings(doc[s:e], wt[s:e], block_size, nweights=nwt[s:e]):
             out["seg"].append(int(seg[s]))
             out["term"].append(tval)
             out["block_id"].append(b["block_id"])
@@ -302,6 +310,8 @@ def _pack_batch(rb, block_size: int):
             out["max_weight"].append(b["max_weight"])
             out["docs"].append(b["docs"])
             out["wts"].append(b["wts"])
+            out["max_nweight"].append(b["max_nweight"])
+            out["nwts"].append(b["nwts"])
     return pa.RecordBatch.from_pydict(out, schema=_postings_pa_schema())
 
 
@@ -319,12 +329,18 @@ def pack_doc_terms(dt: DataFrame, segment_docs: int, block_size: int) -> DataFra
     per build was a measured bandwidth term; here they stay columnar."""
     import pyarrow as pa
 
+    nweight = (
+        F.col("nweight")
+        if "nweight" in dt.columns
+        else F.when(F.col("norm") > 0, F.col("weight") / F.col("norm")).otherwise(F.lit(0.0))
+    )
     with_seg = (
         dt.select(
             (F.col("doc_int") / F.lit(segment_docs)).cast("long").alias("seg"),
             "term",
             "doc_int",
             "weight",
+            nweight.alias("nweight"),
         )
         .repartition(F.col("seg"))
         .sortWithinPartitions("seg", "term", "doc_int")
@@ -455,12 +471,14 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = N
         partition_by=["tb"],
     )
 
-    # pack straight from the persisted frame — the pack needs only
-    # (term, doc_int, weight), so it skips the norms join entirely, and
-    # re-reading the just-written doc_terms parquet would cost a full extra
-    # table scan
+    # pack straight from the in-flight frame — re-reading the just-written
+    # doc_terms parquet would cost a full extra table scan.  The pack input
+    # carries norm (for the cosine-mode normalized weights), so it reuses
+    # the same norms agg + SHUFFLE_HASH join the doc_terms write ran.
     packed = pack_doc_terms(
-        weighted.select("term", "doc_int", "weight"), cfg.segment_docs, cfg.block_size
+        with_norm.select("term", "doc_int", "weight", "norm"),
+        cfg.segment_docs,
+        cfg.block_size,
     ).sortWithinPartitions("term", "block_id")
     cat.write(packed, "postings", partition_by=["seg"])
     weighted.unpersist()

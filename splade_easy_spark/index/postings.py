@@ -69,16 +69,21 @@ def pack_postings(
     doc_ints: np.ndarray,
     weights: np.ndarray,
     block_size: int = BLOCK_SIZE_DEFAULT,
+    nweights: np.ndarray | None = None,
 ) -> list[dict]:
     """Pack one term's postings (must be sorted ascending by doc_int,
     unique) into block records.
 
     Returns dicts: block_id, n, doc_min, doc_max, max_weight,
     docs (bytes: varbyte of [first, deltas...]), wts (bytes: float32 LE).
-    """
+    With ``nweights`` (the doc-normalized weights w/‖d‖ that make cosine a
+    plain dot product) each block also carries nwts + max_nweight — the
+    cosine-mode block-max bound."""
     order = np.argsort(doc_ints, kind="stable")
     doc_ints = np.asarray(doc_ints, dtype=np.int64)[order]
     weights = np.asarray(weights, dtype=np.float64)[order]
+    if nweights is not None:
+        nweights = np.asarray(nweights, dtype=np.float64)[order]
     blocks = []
     for bi, start in enumerate(range(0, len(doc_ints), block_size)):
         d = doc_ints[start : start + block_size]
@@ -87,17 +92,20 @@ def pack_postings(
         deltas[0] = d[0]
         if len(d) > 1:
             deltas[1:] = np.diff(d).astype(np.uint64)
-        blocks.append(
-            {
-                "block_id": bi,
-                "n": int(len(d)),
-                "doc_min": int(d[0]),
-                "doc_max": int(d[-1]),
-                "max_weight": float(w.max()),
-                "docs": varbyte_encode(deltas),
-                "wts": w.astype(np.float32).tobytes(),
-            }
-        )
+        rec = {
+            "block_id": bi,
+            "n": int(len(d)),
+            "doc_min": int(d[0]),
+            "doc_max": int(d[-1]),
+            "max_weight": float(w.max()),
+            "docs": varbyte_encode(deltas),
+            "wts": w.astype(np.float32).tobytes(),
+        }
+        if nweights is not None:
+            nw = nweights[start : start + block_size]
+            rec["max_nweight"] = float(nw.max())
+            rec["nwts"] = nw.astype(np.float32).tobytes()
+        blocks.append(rec)
     return blocks
 
 

@@ -114,7 +114,9 @@ def build_vector_index(
         partition_by=["tb"],
     )
     packed = pack_doc_terms(
-        doc_terms_raw, cfg.segment_docs, cfg.block_size
+        doc_terms.select("term", "doc_int", "weight", "norm"),
+        cfg.segment_docs,
+        cfg.block_size,
     ).sortWithinPartitions("term", "block_id")
     cat.write(packed, "postings", partition_by=["seg"])
     doc_terms_raw.unpersist()
@@ -222,7 +224,11 @@ def append_vector_documents(
     doc_terms.repartition(min(cfg.build_partitions, 8), "tb").sortWithinPartitions(
         "term", "doc_int"
     ).write.mode("append").partitionBy("tb").parquet(cat.table_dir("doc_terms"))
-    packed = pack_doc_terms(doc_terms_raw, cfg.segment_docs, cfg.block_size)
+    packed = pack_doc_terms(
+        doc_terms.select("term", "doc_int", "weight", "norm"),
+        cfg.segment_docs,
+        cfg.block_size,
+    )
     packed.write.mode("append").partitionBy("seg").parquet(cat.table_dir("postings"))
 
     # register batch-new terms (df/max_weight at batch grain)

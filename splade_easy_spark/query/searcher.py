@@ -177,8 +177,11 @@ class Searcher:
         mode vs the reference's ``compute_splade_score(use_cosine=False)``.
 
         ``method='sql'``: postings join + hash agg (Catalyst end to end).
-        ``method='wand'``: packed-postings block-max kernel (dot mode only)
-        — identical results, pruned physical work (see query/wand.py).
+        ``method='wand'``: packed-postings block-max kernel — identical
+        results, pruned physical work (see query/wand.py).  Cosine mode
+        runs the same kernel over the normalized weight stream packed at
+        build time (indexes built before that stream existed silently fall
+        back to the SQL path).
         """
         terms = analyze_query(query, self.config) if isinstance(query, str) else query
         if not terms:
@@ -187,11 +190,14 @@ class Searcher:
             )
         deleted = self._deleted()
         if method == "wand":
-            if use_cosine:
-                raise ValueError("wand method supports dot (BM25) mode only")
             from splade_easy_spark.query.wand import wand_search_scores
 
             postings = self.cat.read(self.spark, "postings")
+            if use_cosine and "nwts" not in postings.columns:
+                # index built before normalized weights were packed —
+                # cosine still answers through the SQL path
+                method = "sql"
+        if method == "wand":
             seg_docs = int(
                 self.cat.manifest.data.get("layout", {}).get(
                     "segment_docs", self.config.segment_docs
@@ -201,8 +207,18 @@ class Searcher:
             # seg exchange into the kernel (never a driver collect), which
             # masks them BEFORE the pruning threshold is computed
             scores = wand_search_scores(
-                self.spark, postings, terms, seg_docs, top_k, deleted
+                self.spark, postings, terms, seg_docs, top_k, deleted, use_cosine
             )
+            if use_cosine:
+                # kernel scores are Σ qw·(w/‖d‖); divide the monotone
+                # query-norm factor out so values equal the SQL path's
+                qnorm = sum(qw * qw for _, qw in terms) ** 0.5
+                if qnorm == 0.0:
+                    scores = scores.where(F.lit(False))
+                else:
+                    scores = scores.select(
+                        "doc_int", (F.col("score") / F.lit(qnorm)).alias("score")
+                    )
         else:
             scores = self._scores(terms, use_cosine)
             if deleted is not None:
@@ -236,10 +252,12 @@ class Searcher:
             )
         deleted0 = self._deleted()
         if method == "wand":
-            if use_cosine:
-                raise ValueError("wand method supports dot (BM25) mode only")
             from splade_easy_spark.query.wand import wand_search_many_scores
 
+            postings = self.cat.read(self.spark, "postings")
+            if use_cosine and "nwts" not in postings.columns:
+                method = "sql"  # pre-nwts index: cosine via the SQL path
+        if method == "wand":
             qt = {
                 q["query_id"]: analyze_query(q["text"], self.config) for q in queries
             }
@@ -251,12 +269,25 @@ class Searcher:
             )
             cand = wand_search_many_scores(
                 self.spark,
-                self.cat.read(self.spark, "postings"),
+                postings,
                 qt,
                 seg_docs,
                 top_k,
                 deleted0,
+                use_cosine,
             )
+            if use_cosine:
+                qnorms = [
+                    (qid, sum(qw * qw for _, qw in ts) ** 0.5) for qid, ts in qt.items()
+                ]
+                qn = self.spark.createDataFrame(qnorms, "query_id STRING, _qn DOUBLE")
+                cand = (
+                    cand.join(F.broadcast(qn), "query_id")
+                    .where(F.col("_qn") > 0)
+                    .select(
+                        "query_id", "doc_int", (F.col("score") / F.col("_qn")).alias("score")
+                    )
+                )
             from pyspark.sql import Window
 
             w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_int"))

@@ -46,8 +46,11 @@ by tests/test_wand.py on every fixture.  Per-segment k-boundary ties are
 all kept (everything scoring >= the kth value survives the segment cut) so
 the global (score DESC, doc_id ASC) ordering resolves them deterministically.
 
-Dot-product (BM25) mode only: block max-scores bound Σ w·qw, which does not
-bound the cosine ratio; cosine queries use the SQL path.
+Both score modes run through the same kernel: dot (BM25) over the raw
+packed weights, cosine over the doc-normalized weight stream packed
+alongside (``nwts`` = w/‖d‖ with per-block ``max_nweight``) — cosine is a
+plain dot product over that stream up to the query-norm factor, which the
+caller divides out (monotone: pruning and ranking are unaffected).
 """
 
 from __future__ import annotations
@@ -67,7 +70,8 @@ TOMB_TERM = "\x00tomb"
 
 _POSTINGS_SCHEMA = (
     "seg LONG, term STRING, block_id INT, n INT, doc_min LONG, "
-    "doc_max LONG, max_weight DOUBLE, docs BINARY, wts BINARY"
+    "doc_max LONG, max_weight DOUBLE, docs BINARY, wts BINARY, "
+    "max_nweight DOUBLE, nwts BINARY"
 )
 
 
@@ -90,7 +94,7 @@ def _tombstone_blocks(deleted: DataFrame, segment_docs: int) -> DataFrame:
                 k: []
                 for k in (
                     "seg", "term", "block_id", "n", "doc_min", "doc_max",
-                    "max_weight", "docs", "wts",
+                    "max_weight", "docs", "wts", "max_nweight", "nwts",
                 )
             }
             for seg, g in pdf.groupby("seg", sort=False):
@@ -107,6 +111,8 @@ def _tombstone_blocks(deleted: DataFrame, segment_docs: int) -> DataFrame:
                 out["max_weight"].append(0.0)
                 out["docs"].append(varbyte_encode(deltas))
                 out["wts"].append(b"")
+                out["max_nweight"].append(0.0)
+                out["nwts"].append(b"")
             yield pd.DataFrame(out)
 
     return dels.mapInPandas(pack, schema=_POSTINGS_SCHEMA)
@@ -140,6 +146,8 @@ def _score_segment(
     seg_docs: int,
     top_k: int,
     dead_local: np.ndarray | None = None,
+    wcol: str = "wts",
+    mcol: str = "max_weight",
 ) -> tuple[np.ndarray, np.ndarray, int, int]:
     """Exact top-k for one segment.
 
@@ -173,8 +181,8 @@ def _score_segment(
         tg = tg.sort_values("doc_min", kind="stable")
         bmin = tg["doc_min"].to_numpy(dtype=np.int64) - seg_base
         bmax = tg["doc_max"].to_numpy(dtype=np.int64) - seg_base
-        bubs = qw * tg["max_weight"].to_numpy(dtype=np.float64)
-        bufs = list(zip(tg["docs"], tg["wts"], tg["n"].astype(int)))
+        bubs = qw * tg[mcol].to_numpy(dtype=np.float64)
+        bufs = list(zip(tg["docs"], tg[wcol], tg["n"].astype(int)))
         terms.append((float(bubs.max()), term, qw, bmin, bmax, bubs, bufs))
         blocks_total += len(bufs)
     # descending upper bound; term as tiebreak for determinism
@@ -297,11 +305,18 @@ def wand_search_scores(
     segment_docs: int,
     top_k: int = 10,
     deleted: DataFrame | None = None,
+    use_cosine: bool = False,
 ) -> DataFrame:
     """(doc_int, score) candidates: per-segment exact top-k via the pruned
-    kernel, global merge left to the caller's orderBy/limit."""
+    kernel, global merge left to the caller's orderBy/limit.
+
+    ``use_cosine`` runs the SAME kernel over the normalized weight stream
+    (``nwts``/``max_nweight``: w/‖d‖ packed at build time) — cosine is then
+    a plain dot product, Σ qw·(w/‖d‖), up to the query-norm factor the
+    caller divides out (monotone, so pruning and ranking are unaffected)."""
     qterms = [t for t, _ in terms]
     b_qw = spark.sparkContext.broadcast(dict(terms))
+    wcol, mcol = ("nwts", "max_nweight") if use_cosine else ("wts", "max_weight")
     pruned = _pruned_with_tombstones(postings, qterms, deleted, segment_docs)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -313,7 +328,9 @@ def wand_search_scores(
         for seg, g in real.groupby("seg", sort=False):
             base = int(seg) * segment_docs
             dead = _dead_local(tomb, seg, base)
-            d, s, _, _ = _score_segment(g, b_qw.value, base, segment_docs, top_k, dead)
+            d, s, _, _ = _score_segment(
+                g, b_qw.value, base, segment_docs, top_k, dead, wcol, mcol
+            )
             if len(d):
                 yield pd.DataFrame({"doc_int": d, "score": s})
 
@@ -327,12 +344,14 @@ def wand_profile(
     segment_docs: int,
     top_k: int = 10,
     deleted: DataFrame | None = None,
+    use_cosine: bool = False,
 ) -> DataFrame:
     """Instrumented run: per-segment (blocks_total, blocks_decoded) for the
     same exact computation — the pruning-effectiveness probe behind the
     ``wand_block_skip_ratio`` bench entry."""
     qterms = [t for t, _ in terms]
     b_qw = spark.sparkContext.broadcast(dict(terms))
+    wcol, mcol = ("nwts", "max_nweight") if use_cosine else ("wts", "max_weight")
     pruned = _pruned_with_tombstones(postings, qterms, deleted, segment_docs)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -346,7 +365,7 @@ def wand_profile(
             base = int(seg) * segment_docs
             dead = _dead_local(tomb, seg, base)
             _, _, total, decoded = _score_segment(
-                g, b_qw.value, base, segment_docs, top_k, dead
+                g, b_qw.value, base, segment_docs, top_k, dead, wcol, mcol
             )
             segs.append(int(seg))
             bt.append(total)
@@ -368,6 +387,7 @@ def wand_search_many_scores(
     segment_docs: int,
     top_k: int = 10,
     deleted: DataFrame | None = None,
+    use_cosine: bool = False,
 ) -> DataFrame:
     """Batch retrieval: (query_id, doc_int, score) per-segment top-k
     candidates for EVERY query in one pass.
@@ -385,6 +405,7 @@ def wand_search_many_scores(
         [(qid, sorted(queries_terms[qid], key=lambda tw: tw[0])) for qid in qids]
     )
 
+    wcol = "nwts" if use_cosine else "wts"
     pruned = _pruned_with_tombstones(postings, all_terms, deleted, segment_docs)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -407,7 +428,7 @@ def wand_search_many_scores(
             for term, tg in g.groupby("term", sort=False):
                 docs_cat, wts_cat = [], []
                 for _, row in tg.iterrows():
-                    d, w = unpack_block(row["docs"], row["wts"], int(row["n"]))
+                    d, w = unpack_block(row["docs"], row[wcol], int(row["n"]))
                     docs_cat.append(d)
                     wts_cat.append(w)
                 idx = np.concatenate(docs_cat) - base

@@ -257,3 +257,44 @@ def test_batch_wand_prune_repair_exact(corpus, spark):
             assert [d for d, _ in sql[qid]] == [d for d, _ in wand[qid]], qid
             for (_, a), (_, b) in zip(sql[qid], wand[qid]):
                 assert abs(a - b) <= 1e-5 * max(1.0, abs(a))
+
+
+def test_cosine_wand_equals_cosine_sql(corpus, spark):
+    """Cosine through the packed kernel (normalized weight stream) must be
+    rank- and score-identical to the SQL path's dot/(|d||q|)."""
+    idx_dir, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    for q in generate_query_set(12, seed=5):
+        sql_rows = [
+            (r["doc_id"], r["score"])
+            for r in s.search(q["text"], top_k=10, use_cosine=True).collect()
+        ]
+        wand_rows = [
+            (r["doc_id"], r["score"])
+            for r in s.search(q["text"], top_k=10, use_cosine=True, method="wand").collect()
+        ]
+        assert [d for d, _ in wand_rows] == [d for d, _ in sql_rows]
+        for (_, a), (_, b) in zip(wand_rows, sql_rows):
+            assert abs(a - b) <= 1e-5 * max(1.0, abs(b))  # float32 packed
+
+
+def test_cosine_batch_wand_equals_sql(corpus, spark):
+    idx_dir, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    queries = [
+        {"query_id": f"cq{i}", "text": q["text"]}
+        for i, q in enumerate(generate_query_set(8, seed=77))
+    ]
+
+    def collect(method):
+        got = {}
+        for r in s.search_many(queries, top_k=5, use_cosine=True, method=method).collect():
+            got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+        return got
+
+    sql, wand = collect("sql"), collect("wand")
+    assert set(sql) == set(wand)
+    for qid in sql:
+        assert [d for d, _ in sql[qid]] == [d for d, _ in wand[qid]]
+        for (_, a), (_, b) in zip(sql[qid], wand[qid]):
+            assert abs(a - b) <= 1e-5 * max(1.0, abs(a))
