@@ -443,7 +443,12 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = N
     norms = weighted.groupBy("doc_int").agg(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
     )
-    with_norm = weighted.join(norms.hint("SHUFFLE_HASH"), "doc_int")
+    # consumed by BOTH writes (doc_terms and the pack, which needs norm for
+    # the cosine nweights) — persist so the pack job doesn't re-run the
+    # norms agg + join; both sides of the join read the weighted cache
+    with_norm = weighted.join(norms.hint("SHUFFLE_HASH"), "doc_int").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # hot-term set is tiny by construction (top (1-quantile) of terms by df)
     hot = F.broadcast(
@@ -481,6 +486,7 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = N
         cfg.block_size,
     ).sortWithinPartitions("term", "block_id")
     cat.write(packed, "postings", partition_by=["seg"])
+    with_norm.unpersist()
     weighted.unpersist()
     if ctx is not None and "term_tf" in ctx:
         ctx.pop("term_tf").unpersist()
