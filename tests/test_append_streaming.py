@@ -155,3 +155,25 @@ def test_turn_rate_stream(spark, tmp_path):
     assert rows
     assert sum(r["n_turns"] for r in rows) == tx.count()
     assert {r["role"] for r in rows} <= {"user", "assistant", "tool"}
+
+
+def test_cosine_wand_after_append_matches_sql(spark, tmp_path):
+    """Appended segments pack the normalized-weight stream too: cosine
+    through the WAND kernel stays identical to the SQL path after appends
+    (frozen-idf weights on both)."""
+    idx = str(tmp_path / "idx")
+    all_tx = generate_transcripts(spark, num_convs=8, seed=31)
+    first = all_tx.where(F.col("conv_id") < "conv_00000005")
+    rest = all_tx.where(F.col("conv_id") >= "conv_00000005")
+    build_index(spark, first, idx, CFG)
+    append_documents(spark, idx, rest, CFG)
+    s = Searcher(spark, idx, CFG)
+    for q in ("baba0 ceba1", "diba2 baba0 eba3"):
+        sql = [(r["doc_id"], r["score"]) for r in s.search(q, 15, use_cosine=True).collect()]
+        wand = [
+            (r["doc_id"], r["score"])
+            for r in s.search(q, 15, use_cosine=True, method="wand").collect()
+        ]
+        assert [d for d, _ in wand] == [d for d, _ in sql]
+        for (_, a), (_, b) in zip(wand, sql):
+            assert abs(a - b) <= 1e-5 * max(1.0, abs(b))
