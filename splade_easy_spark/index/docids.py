@@ -86,19 +86,43 @@ def assign_doc_ints(df: DataFrame, key: str = "doc_id", partitions: int = 32) ->
         bounds = np.array(b_bounds.value, dtype=object)
         if len(bounds) == 0:
             return pd.Series(np.zeros(len(k), dtype=np.int32))
-        # first range whose max >= key — exact, every key was seen in pass 1
+        # first range whose max >= key — exact, every key was seen in pass 1.
+        # Keys ABOVE the last boundary get pos == len(bounds): do NOT raise
+        # here — Spark gives no guarantee a Python UDF only sees post-
+        # filter/post-join rows (the ArrowEvalPython node is planned below
+        # joins when only this side's columns are needed), so when ``df``
+        # carries an upstream anti-join this kernel legitimately sees rows
+        # the join later removes.  The out-of-range sentinel is checked
+        # loudly downstream on rows that actually SURVIVE the plan.
         pos = np.searchsorted(bounds, k.to_numpy(dtype=object), side="left")
         return pd.Series(pos.astype(np.int32))
 
-    off_df = spark.createDataFrame(
-        [(b, offsets[b]) for b in range(len(offsets))], "_b INT, _off LONG"
+    # bucket → global offset via a broadcast literal array (the round-2
+    # inner join on an offsets table silently DROPPED any row whose key
+    # exceeded the pass-1 max boundary — a precondition violation must fail
+    # loudly instead, and only for rows that survive the final plan: the
+    # raise_error branch lives in a projection ABOVE every join, so phantom
+    # pre-join UDF evaluations can't trip it).
+    off_arr = F.array(*[F.lit(int(o)).cast("long") for o in offsets]) if offsets else F.array(F.lit(0).cast("long"))
+    guarded_off = F.when(F.col("_b") < F.lit(len(offsets)), F.element_at(off_arr, F.col("_b") + 1)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "assign_doc_ints: key above the pass-1 max boundary: '"
+                ),
+                F.col(key).cast("string"),
+                F.lit(
+                    "' — the input is not deterministic across passes; "
+                    "materialize it first (see module preconditions)"
+                ),
+            )
+        ).cast("long")
     )
     # the window's own hash exchange on _b is the one wide shuffle (an
     # explicit repartition would just add a second, mismatched exchange)
     w = Window.partitionBy("_b").orderBy(key)
     return (
         df.withColumn("_b", bucket_of(F.col(key)))
-        .join(F.broadcast(off_df), "_b")
-        .withColumn("doc_int", F.row_number().over(w) - 1 + F.col("_off"))
-        .drop("_b", "_off")
+        .withColumn("doc_int", F.row_number().over(w) - 1 + guarded_off)
+        .drop("_b")
     )

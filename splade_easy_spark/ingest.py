@@ -66,12 +66,20 @@ def to_transcripts(df: DataFrame, cfg: IngestConfig) -> DataFrame:
         # Duplicate texts collide on the hash, so a per-hash ordinal rides
         # the turn slot (doc_id becomes doc_<hash>#<ordinal>) — each copy
         # keeps a distinct, stable doc_id instead of round 1's duplicate
-        # doc_id rows (ambiguous get/delete, double search hits).
+        # doc_id rows (ambiguous get/delete, double search hits).  The
+        # ordinal window orders by a deterministic tiebreaker (metadata
+        # columns, then ts) so the doc_id↔metadata pairing of duplicate
+        # texts is stable across runs and parallelism levels; rows that are
+        # byte-identical on every projected column are indistinguishable,
+        # so their (arbitrary) ordinal assignment is immaterial.
         from pyspark.sql import Window
 
         conv = F.concat(F.lit("doc_"), F.substring(F.sha2(text, 256), 1, 16))
+        tiebreak = [F.col(c).cast("string") for c in cfg.metadata_columns]
+        if "ts" in df.columns:
+            tiebreak.append(F.col("ts").cast("string"))
         turn = (
-            F.row_number().over(Window.partitionBy(conv).orderBy(conv)) - 1
+            F.row_number().over(Window.partitionBy(conv).orderBy(conv, *tiebreak)) - 1
         )
     meta = (
         F.to_json(F.struct(*[F.col(c).cast("string").alias(c) for c in cfg.metadata_columns]))

@@ -235,9 +235,13 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql.types import ArrayType, IntegerType
 
-    unit = F.transform(
-        F.col(vec_col), lambda x: x.cast("double") / norm_expr(F.col(vec_col))
+    # zero-norm guard: an all-zero embedding would yield NaN features and
+    # break the KMeans fit/transform — keep it as the zero vector instead
+    # (it lands in whichever cell is nearest the origin, scores cosine 0).
+    _safe_norm = F.when(norm_expr(F.col(vec_col)) > 0, norm_expr(F.col(vec_col))).otherwise(
+        F.lit(1.0)
     )
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / _safe_norm)
     feats = vectors.select(array_to_vector(unit).alias("features"))
     if train_fraction is not None:
         feats = feats.sample(train_fraction, seed=seed)

@@ -380,6 +380,175 @@ def wand_profile(
     )
 
 
+def _batch_segment(
+    g: pd.DataFrame,
+    queries: list[tuple[str, list[tuple[str, float]]]],
+    base: int,
+    segment_docs: int,
+    top_k: int,
+    dead: np.ndarray | None,
+    wcol: str,
+    mcol: str,
+) -> tuple[list, list, list, int, int]:
+    """Exact batch top-k for one segment; shared by the live batch kernel
+    and the profile kernel.
+
+    Returns (query_ids, doc_ints, scores, blocks_total, blocks_decoded).
+
+    Blocks are decoded LAZILY through a per-term cache shared by every
+    query: a block is only decoded the first time some query's phase-1
+    scatter cannot prove it irrelevant (the same block-max skip invariant
+    as ``_score_segment``: exact acc-so-far + this block's qw·max_weight +
+    remaining terms' upper bounds < θ ⇒ no doc in the block can reach the
+    final top-k) or when the MaxScore repair step needs a candidate's
+    covering block.  Round 2 decoded every block of the query-term union
+    unconditionally; with a 10⁴-query batch over a Zipfian vocabulary most
+    tail-term blocks are never needed by ANY query and now stay packed.
+
+    Each term's block rows are sorted by ``doc_min`` before use — rows
+    arrive through a ``repartition(seg)`` shuffle and, on appended indexes,
+    from multiple parquet files whose read order Spark picks by size, so
+    raw partition order is NOT ascending (the round-2 batch kernel assumed
+    it was, corrupting the searchsorted repair on appended indexes).
+    """
+    alive = None
+    if dead is not None and len(dead):
+        alive = np.ones(segment_docs, dtype=bool)
+        alive[dead[(dead >= 0) & (dead < segment_docs)]] = False
+
+    # per-term block metadata: bmin/bmax/max-weight arrays (doc_min
+    # ascending; blocks are non-overlapping consecutive runs, see
+    # _score_segment), packed buffers, and the shared decode cache.
+    meta: dict[str, tuple] = {}
+    blocks_total = 0
+    for term, tg in g.groupby("term", sort=False):
+        tg = tg.sort_values("doc_min", kind="stable")
+        bmin = tg["doc_min"].to_numpy(dtype=np.int64) - base
+        bmax = tg["doc_max"].to_numpy(dtype=np.int64) - base
+        maxw = tg[mcol].to_numpy(dtype=np.float64)
+        bufs = list(zip(tg["docs"], tg[wcol], tg["n"].astype(int)))
+        cache: list[tuple[np.ndarray, np.ndarray] | None] = [None] * len(bufs)
+        meta[term] = (bmin, bmax, maxw, bufs, cache, float(maxw.max()))
+        blocks_total += len(bufs)
+
+    n_decoded = 0
+
+    def block(tm: tuple, j: int) -> tuple[np.ndarray, np.ndarray]:
+        nonlocal n_decoded
+        cache = tm[4]
+        if cache[j] is None:
+            dbuf, wbuf, n = tm[3][j]
+            d, w = unpack_block(dbuf, wbuf, int(n))
+            cache[j] = (d - base, w)
+            n_decoded += 1
+        return cache[j]
+
+    acc = np.zeros(segment_docs, dtype=np.float64)
+    out_q: list[str] = []
+    out_d: list[int] = []
+    out_s: list[float] = []
+    for qid, qterms in queries:
+        # per-query MaxScore: terms descending by upper bound; once the
+        # remaining terms' ub-sum falls below a running lower bound θ of
+        # the final kth score, STOP scattering — docs not yet touched
+        # cannot enter the top-k, and the skipped terms' contributions to
+        # surviving candidates are repaired exactly afterwards.
+        present = [
+            (qw * meta[t][5], t, qw)
+            for t, qw in qterms
+            if t in meta and meta[t][5] > 0.0
+        ]
+        if not present:
+            continue
+        present.sort(key=lambda x: (-x[0], x[1]))
+        ubs = np.array([p[0] for p in present])
+        suffix = np.concatenate((np.cumsum(ubs[::-1])[::-1], [0.0]))
+        acc.fill(0.0)
+        theta = 0.0
+        theta_set = False
+        cut = len(present)
+        for i, (_ub, term, qw) in enumerate(present):
+            if theta_set and suffix[i] < theta:
+                cut = i  # remaining terms cannot create new top-k docs
+                break
+            bmin, bmax, maxw = meta[term][0], meta[term][1], meta[term][2]
+            remaining_after = float(suffix[i + 1])
+            scattered: list[np.ndarray] = []
+            for j in range(len(bmin)):
+                if theta_set:
+                    lo, hi = int(bmin[j]), int(bmax[j]) + 1
+                    if acc[lo:hi].max() + qw * maxw[j] + remaining_after < theta:
+                        continue  # block-max skip (exact, see docstring)
+                idx, wts = block(meta[term], j)
+                acc[idx] += qw * wts
+                scattered.append(idx)
+            if not scattered:
+                continue
+            sidx = scattered[0] if len(scattered) == 1 else np.concatenate(scattered)
+            # cheap θ lower bound: kth largest of the LIVE accs on the
+            # postings scattered so far (a subset's kth is ≤ the global
+            # kth, so pruning stays safe; dead docs excluded or θ would
+            # overstate and prune true post-delete winners)
+            vals = acc[sidx] if alive is None else acc[sidx[alive[sidx]]]
+            if len(vals) >= top_k:
+                kth = np.partition(vals, len(vals) - top_k)[len(vals) - top_k]
+                if kth > 0:
+                    theta = max(theta, float(kth))
+                    theta_set = True
+        live = np.flatnonzero(acc > 0)
+        if alive is not None and len(live):
+            live = live[alive[live]]
+        if len(live) == 0:
+            continue
+        if cut < len(present):
+            # candidate filter with the skipped tail's ub, then exact
+            # repair of those terms on survivors only — per candidate,
+            # find its covering block (searchsorted over the sorted
+            # non-overlapping block ranges), decode just those blocks,
+            # and gather the exact weight at the candidate's position.
+            rem = float(suffix[cut])
+            live = live[acc[live] + rem >= theta]
+            for _, term, qw in present[cut:]:
+                bmin, bmax = meta[term][0], meta[term][1]
+                pos = np.searchsorted(bmin, live, side="right") - 1
+                cov = pos >= 0
+                cov[cov] = live[cov] <= bmax[pos[cov]]
+                for j in np.unique(pos[cov]):
+                    cand = live[cov & (pos == j)]
+                    idx, wts = block(meta[term], int(j))
+                    p = np.searchsorted(idx, cand)
+                    ok = p < len(idx)
+                    ok[ok] = idx[p[ok]] == cand[ok]
+                    acc[cand[ok]] += qw * wts[p[ok]]
+        scores = acc[live]
+        if len(live) > top_k:
+            kth = np.partition(scores, len(scores) - top_k)[len(scores) - top_k]
+            sel = scores >= kth  # keep k-boundary ties
+            live, scores = live[sel], scores[sel]
+        out_q.extend([qid] * len(live))
+        out_d.extend((live + base).tolist())
+        out_s.extend(scores.tolist())
+    return out_q, out_d, out_s, blocks_total, n_decoded
+
+
+def _batch_prepared(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries_terms: dict[str, list[tuple[str, float]]],
+    segment_docs: int,
+    deleted: DataFrame | None,
+    use_cosine: bool,
+):
+    qids = sorted(queries_terms)
+    all_terms = sorted({t for ts in queries_terms.values() for t, _ in ts})
+    b_queries = spark.sparkContext.broadcast(
+        [(qid, sorted(queries_terms[qid], key=lambda tw: tw[0])) for qid in qids]
+    )
+    wcol, mcol = ("nwts", "max_nweight") if use_cosine else ("wts", "max_weight")
+    pruned = _pruned_with_tombstones(postings, all_terms, deleted, segment_docs)
+    return b_queries, wcol, mcol, pruned
+
+
 def wand_search_many_scores(
     spark: SparkSession,
     postings: DataFrame,
@@ -394,19 +563,16 @@ def wand_search_many_scores(
 
     The SQL batch path multiplies each posting row by every query sharing
     its term (a Zipfian head term × 100 queries → 10^8 joined rows).  Here
-    each segment's blocks for the union of query terms are decoded ONCE and
-    scattered into per-query dense accumulators — work is
-    O(Σ_term decode + Σ_(term,query) postings_in_segment) with no join
-    blowup materialized, and only per-segment top-k rows leave the kernel.
+    each segment's blocks for the union of query terms are decoded AT MOST
+    once (lazily — see ``_batch_segment``; blocks no query needs stay
+    packed) and scattered into per-query dense accumulators — work is
+    O(Σ_term needed-block decode + Σ_(term,query) postings_in_segment)
+    with no join blowup materialized, and only per-segment top-k rows
+    leave the kernel.
     """
-    qids = sorted(queries_terms)
-    all_terms = sorted({t for ts in queries_terms.values() for t, _ in ts})
-    b_queries = spark.sparkContext.broadcast(
-        [(qid, sorted(queries_terms[qid], key=lambda tw: tw[0])) for qid in qids]
+    b_queries, wcol, mcol, pruned = _batch_prepared(
+        spark, postings, queries_terms, segment_docs, deleted, use_cosine
     )
-
-    wcol = "nwts" if use_cosine else "wts"
-    pruned = _pruned_with_tombstones(postings, all_terms, deleted, segment_docs)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         frames = [b for b in batches if len(b)]
@@ -414,92 +580,56 @@ def wand_search_many_scores(
             return
         pdf = pd.concat(frames, ignore_index=True)
         real, tomb = _split_tombstones(pdf)
-        queries = b_queries.value
         for seg, g in real.groupby("seg", sort=False):
             base = int(seg) * segment_docs
             dead = _dead_local(tomb, seg, base)
-            alive = None
-            if dead is not None and len(dead):
-                alive = np.ones(segment_docs, dtype=bool)
-                alive[dead[(dead >= 0) & (dead < segment_docs)]] = False
-            # decode each term's blocks ONCE per segment, shared by every
-            # query that uses the term (doc ids ascending by construction)
-            decoded: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
-            for term, tg in g.groupby("term", sort=False):
-                docs_cat, wts_cat = [], []
-                for _, row in tg.iterrows():
-                    d, w = unpack_block(row["docs"], row[wcol], int(row["n"]))
-                    docs_cat.append(d)
-                    wts_cat.append(w)
-                idx = np.concatenate(docs_cat) - base
-                wts = np.concatenate(wts_cat)
-                decoded[term] = (idx, wts, float(wts.max()) if len(wts) else 0.0)
-            acc = np.zeros(segment_docs, dtype=np.float64)
-            out_q, out_d, out_s = [], [], []
-            for qid, qterms in queries:
-                # per-query MaxScore: terms descending by upper bound; once
-                # the remaining terms' ub-sum falls below a running lower
-                # bound θ of the final kth score, STOP scattering — docs not
-                # yet touched cannot enter the top-k, and the skipped
-                # terms' contributions to surviving candidates are repaired
-                # exactly afterwards (gather at candidate indices).  At
-                # 10^4-query batches this skips the scatter work for every
-                # query's low-ub tail (round 1 decoded AND scattered all).
-                present = [
-                    (qw * decoded[t][2], t, qw)
-                    for t, qw in qterms
-                    if t in decoded and decoded[t][2] > 0.0
-                ]
-                if not present:
-                    continue
-                present.sort(key=lambda x: (-x[0], x[1]))
-                ubs = np.array([p[0] for p in present])
-                suffix = np.concatenate((np.cumsum(ubs[::-1])[::-1], [0.0]))
-                acc.fill(0.0)
-                theta = 0.0
-                theta_set = False
-                cut = len(present)
-                for i, (ub, term, qw) in enumerate(present):
-                    if theta_set and suffix[i] < theta:
-                        cut = i  # remaining terms cannot create new top-k docs
-                        break
-                    idx, wts, _ = decoded[term]
-                    acc[idx] += qw * wts
-                    # cheap θ lower bound: kth largest of the LIVE accs on
-                    # this term's postings (a subset's kth is ≤ the global
-                    # kth, so pruning stays safe; dead docs excluded or θ
-                    # would overstate and prune true post-delete winners)
-                    vals = acc[idx] if alive is None else acc[idx[alive[idx]]]
-                    if len(vals) >= top_k:
-                        kth = np.partition(vals, len(vals) - top_k)[len(vals) - top_k]
-                        if kth > 0:
-                            theta = max(theta, float(kth))
-                            theta_set = True
-                live = np.flatnonzero(acc > 0)
-                if alive is not None and len(live):
-                    live = live[alive[live]]
-                if len(live) == 0:
-                    continue
-                if cut < len(present):
-                    # candidate filter with the skipped tail's ub, then
-                    # exact repair of those terms on survivors only
-                    rem = float(suffix[cut])
-                    live = live[acc[live] + rem >= theta]
-                    for _, term, qw in present[cut:]:
-                        idx, wts, _ = decoded[term]
-                        pos = np.searchsorted(idx, live)
-                        ok = pos < len(idx)
-                        ok[ok] = idx[pos[ok]] == live[ok]
-                        acc[live[ok]] += qw * wts[pos[ok]]
-                scores = acc[live]
-                if len(live) > top_k:
-                    kth = np.partition(scores, len(scores) - top_k)[len(scores) - top_k]
-                    sel = scores >= kth  # keep k-boundary ties
-                    live, scores = live[sel], scores[sel]
-                out_q.extend([qid] * len(live))
-                out_d.extend((live + base).tolist())
-                out_s.extend(scores.tolist())
+            out_q, out_d, out_s, _, _ = _batch_segment(
+                g, b_queries.value, base, segment_docs, top_k, dead, wcol, mcol
+            )
             if out_q:
                 yield pd.DataFrame({"query_id": out_q, "doc_int": out_d, "score": out_s})
 
     return pruned.mapInPandas(kernel, schema="query_id STRING, doc_int LONG, score DOUBLE")
+
+
+def wand_batch_profile(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries_terms: dict[str, list[tuple[str, float]]],
+    segment_docs: int,
+    top_k: int = 10,
+    deleted: DataFrame | None = None,
+    use_cosine: bool = False,
+) -> DataFrame:
+    """Instrumented batch run: per-segment (blocks_total, blocks_decoded)
+    for the same exact computation — the probe behind the
+    ``batch_block_decode_ratio`` bench entry (blocks the lazy cache never
+    had to decode for ANY query in the batch stay packed)."""
+    b_queries, wcol, mcol, pruned = _batch_prepared(
+        spark, postings, queries_terms, segment_docs, deleted, use_cosine
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        real, tomb = _split_tombstones(pdf)
+        segs, bt, bd = [], [], []
+        for seg, g in real.groupby("seg", sort=False):
+            base = int(seg) * segment_docs
+            dead = _dead_local(tomb, seg, base)
+            _, _, _, total, decoded = _batch_segment(
+                g, b_queries.value, base, segment_docs, top_k, dead, wcol, mcol
+            )
+            segs.append(int(seg))
+            bt.append(total)
+            bd.append(decoded)
+        if segs:
+            yield pd.DataFrame(
+                {"seg": segs, "blocks_total": bt, "blocks_decoded": bd}
+            )
+
+    return pruned.mapInPandas(
+        kernel, schema="seg LONG, blocks_total LONG, blocks_decoded LONG"
+    )

@@ -87,8 +87,14 @@ def _session_func(gap_seconds: int):
                 continue
             seg_es, seg_vals = es[m], vals[m]
             if s == 0:
-                # extends the open session from state
-                last = int(seg_es[-1])
+                # extends the open session from state.  Late-but-within-
+                # watermark events can be OLDER than the carried state's
+                # span — min/max so the session's bounds never move backward
+                # (a plain assignment would shrink duration_s and set the
+                # event-time timeout before true last_event + gap, closing
+                # the session prematurely under a non-zero watermark).
+                start = min(start, int(seg_es[0]))
+                last = max(last, int(seg_es[-1]))
                 n += int(m.sum())
                 sv += float(seg_vals.sum())
             else:

@@ -259,6 +259,125 @@ def test_batch_wand_prune_repair_exact(corpus, spark):
                 assert abs(a - b) <= 1e-5 * max(1.0, abs(a))
 
 
+def test_batch_segment_unsorted_rows_exact():
+    """Regression (round-2 ADVICE, high): the batch kernel must sort each
+    term's block rows by doc_min before use — after the seg shuffle (and on
+    appended multi-file indexes) rows arrive in arbitrary order, and an
+    unsorted concatenation corrupts the searchsorted repair whenever the
+    MaxScore cut fires.  Feed deliberately REVERSED block order and force
+    the cut with a skewed-ub term tail; compare against brute force."""
+    from splade_easy_spark.query.wand import _batch_segment
+
+    rng = np.random.default_rng(3)
+    seg_docs = 256
+    truth: dict[str, np.ndarray] = {}
+    qw_map = {}
+    frames = []
+    from splade_easy_spark.index.postings import pack_postings
+
+    for t in range(10):
+        term = f"t{t}"
+        qw_map[term] = float(rng.uniform(0.1, 2.0)) * (10.0 if t == 0 else 1.0)
+        n_post = int(rng.integers(40, seg_docs))
+        docs = np.sort(rng.choice(seg_docs, size=n_post, replace=False)).astype(np.int64)
+        wts = rng.uniform(0.01, 3.0, size=n_post)
+        acc = np.zeros(seg_docs)
+        acc[docs] = qw_map[term] * wts.astype(np.float32).astype(np.float64)
+        truth[term] = acc
+        rows = []
+        for b in pack_postings(docs, wts, 8):
+            rows.append(
+                {
+                    "seg": 0, "term": term, "block_id": b["block_id"], "n": b["n"],
+                    "doc_min": b["doc_min"], "doc_max": b["doc_max"],
+                    "max_weight": b["max_weight"], "docs": b["docs"], "wts": b["wts"],
+                }
+            )
+        frames.append(pd.DataFrame(rows).iloc[::-1])  # REVERSED block order
+    g = pd.concat(frames, ignore_index=True)
+    queries = [
+        ("q0", sorted(qw_map.items())),  # all terms: skewed ub forces the cut
+        ("q1", [("t1", qw_map["t1"]), ("t2", qw_map["t2"])]),
+    ]
+    out_q, out_d, out_s, bt, bd = _batch_segment(
+        g, queries, 0, seg_docs, 5, None, "wts", "max_weight"
+    )
+    assert bd <= bt
+    got: dict[str, list] = {}
+    for q, d, s in zip(out_q, out_d, out_s):
+        got.setdefault(q, []).append((d, s))
+    for qid, qterms in queries:
+        total = np.sum([truth[t] for t, _ in qterms], axis=0)
+        order = np.lexsort((np.arange(seg_docs), -total))
+        expect = [int(i) for i in order[:5] if total[i] > 0]
+        rows = sorted(got[qid], key=lambda r: (-r[1], r[0]))
+        assert [d for d, _ in rows][: len(expect)] == expect, qid
+        assert np.allclose([s for _, s in rows][: len(expect)], total[expect], rtol=1e-7)
+
+
+def test_batch_wand_appended_multifile_index(spark, tmp_path):
+    """Batch WAND on an APPENDED index (multiple parquet files per segment,
+    Spark's read order by size ≠ doc order) must equal the SQL batch path —
+    the round-2 high-severity gap: no batch test exercised multi-file
+    postings, where the repair step saw unsorted doc ids."""
+    from splade_easy_spark.index.append import append_documents
+    from splade_easy_spark.data.transcripts import make_vocab
+
+    idx_dir = str(tmp_path / "index")
+    tx = generate_transcripts(spark, num_convs=18, seed=11)
+    build_index(spark, tx, idx_dir, CFG)
+    for seed in (12, 13):  # two appends → ≥3 files' runs per hot (seg, term)
+        append_documents(spark, idx_dir, generate_transcripts(spark, num_convs=6, seed=seed), CFG)
+
+    s = Searcher(spark, idx_dir, CFG)
+    vocab = make_vocab()
+    queries = [{"query_id": f"q{i}", "text": q["text"]} for i, q in enumerate(generate_query_set(8, seed=21))]
+    # long queries force the MaxScore cut + repair on the appended layout
+    queries += [
+        {"query_id": f"lq{i}", "text": " ".join(vocab[i * 5 % 40 : i * 5 % 40 + 12])}
+        for i in range(6)
+    ]
+
+    def collect(method, k):
+        got = {}
+        for r in s.search_many(queries, top_k=k, method=method).collect():
+            got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+        return got
+
+    for k in (3, 10):
+        sql, wand = collect("sql", k), collect("wand", k)
+        assert set(sql) == set(wand)
+        for qid in sql:
+            assert [d for d, _ in sql[qid]] == [d for d, _ in wand[qid]], qid
+            for (_, a), (_, b) in zip(sql[qid], wand[qid]):
+                assert abs(a - b) <= 1e-5 * max(1.0, abs(a))
+
+
+def test_batch_profile_skips_block_decodes(corpus, spark):
+    """The batch kernel's lazy decode cache must leave some blocks packed
+    on long skewed-ub queries (round-2 VERDICT: the batch path decoded
+    every block of the query-term union)."""
+    from splade_easy_spark.query.wand import wand_batch_profile
+    from splade_easy_spark.query.searcher import analyze_query
+    from splade_easy_spark.data.transcripts import make_vocab
+
+    idx_dir, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    vocab = make_vocab()
+    qt = {
+        f"lq{i}": analyze_query(" ".join(vocab[i * 7 % 40 : i * 7 % 40 + 12]), CFG)
+        for i in range(6)
+    }
+    postings = s.cat.read(spark, "postings")
+    prof = wand_batch_profile(
+        spark, postings, qt, CFG.segment_docs, top_k=2, deleted=s._deleted()
+    ).collect()
+    total = sum(r["blocks_total"] for r in prof)
+    decoded = sum(r["blocks_decoded"] for r in prof)
+    assert total > 0 and 0 < decoded <= total
+    assert decoded < total, "lazy decode cache never skipped a block"
+
+
 def test_cosine_wand_equals_cosine_sql(corpus, spark):
     """Cosine through the packed kernel (normalized weight stream) must be
     rank- and score-identical to the SQL path's dot/(|d||q|)."""
