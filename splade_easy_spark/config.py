@@ -77,6 +77,12 @@ class IndexConfig:
     hot_term_salt: int = 8
     segment_docs: int = 1 << 20  # docs per WAND segment (doc-sharded layout)
     store_text: bool = True
+    #: pack the doc-normalized weight stream (``nwts``/``max_nweight``) into
+    #: posting blocks so cosine ranking runs through the WAND kernel.  It
+    #: roughly doubles the weight bytes through the build's pack stage —
+    #: disable when only BM25/dot ranking is needed (cosine then remains
+    #: available via the SQL path, which uses the denormalized ``norm``).
+    pack_cosine: bool = True
 
     def identity(self) -> dict:
         return {

@@ -135,7 +135,7 @@ def append_documents(
     # broadcast idf join) — same kernel as the build; consumed by both the
     # doc_terms write and the pack (norm feeds the cosine-mode nweights)
     with_norm = attach_doc_norm(weighted).persist(StorageLevel.MEMORY_AND_DISK)
-    doc_terms = with_norm.select("tb", "term", "doc_int", "tf", "weight", "norm")
+    doc_terms = with_norm.select("tb", "term", "doc_int", "weight", "norm")
     doc_terms.repartition(min(cfg.build_partitions, 8), "tb").sortWithinPartitions(
         "term", "doc_int"
     ).write.mode("append").partitionBy("tb").parquet(cat.table_dir("doc_terms"))
@@ -146,6 +146,7 @@ def append_documents(
         with_norm.select("term", "doc_int", "weight", "norm"),
         cfg.segment_docs,
         cfg.block_size,
+        pack_cosine=cat.manifest.data.get("layout", {}).get("pack_cosine", cfg.pack_cosine),
     )
     packed.write.mode("append").partitionBy("seg").parquet(cat.table_dir("postings"))
 

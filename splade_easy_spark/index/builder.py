@@ -261,37 +261,38 @@ def _postings_pa_schema():
     return _POSTINGS_PA_SCHEMA
 
 
-def _group_change(rb) -> "object":
-    """Boolean ndarray: row i starts a new (seg, term) group (i >= 1)."""
+def _group_starts(rb) -> "object":
+    """int ndarray of row indices (>= 1) that start a new (seg, term) group
+    — a row starts a group iff its ``term_first`` is non-null (the JVM lag
+    window upstream nulls the term except on each group's first row)."""
     import numpy as np
     import pyarrow.compute as pc
 
-    seg = rb.column("seg").to_numpy(zero_copy_only=False)
-    term = rb.column("term")
-    n = rb.num_rows
-    tchg = pc.fill_null(
-        pc.not_equal(term.slice(1), term.slice(0, n - 1)), True
-    ).to_numpy(zero_copy_only=False)
-    return (seg[1:] != seg[:-1]) | tchg
+    valid = pc.is_valid(rb.column("term_first")).to_numpy(zero_copy_only=False)
+    return np.flatnonzero(valid[1:]) + 1
 
 
-def _pack_batch(rb, block_size: int):
-    """Pack an Arrow batch of (seg, term, doc_int, weight, nweight) rows
-    SORTED by (seg, term, doc_int) into block records — group boundaries
-    via change-point detection, one ``pack_postings`` call per group.  Term
-    strings materialize once per GROUP (``.as_py()``), never per row.
-    ``nweight`` = weight/‖doc‖ rides along so cosine scoring is the same
-    dot-product kernel over the normalized stream (its block max is the
-    cosine block-max bound)."""
+def _pack_batch(rb, block_size: int, segment_docs: int, pack_cosine: bool):
+    """Pack an Arrow batch of (term_first, doc_int, weight[, nweight]) rows
+    SORTED by (seg, term, doc_int) into block records.  The batch carries
+    neither a ``seg`` column (derived in-kernel from ``doc_int``) nor a
+    per-row term string: ``term_first`` holds the term only on each group's
+    first row and is null elsewhere, so the posting-grain Arrow hop ships
+    ~4 bytes/row of string offsets instead of a full string per posting —
+    the hop's bytes were the measured cap on build scaling (round 2).
+    Term strings materialize once per GROUP (``.as_py()``), never per row.
+    With ``pack_cosine``, ``nweight`` = weight/‖doc‖ rides along so cosine
+    scoring is the same dot-product kernel over the normalized stream (its
+    block max is the cosine block-max bound); otherwise the nwts columns
+    are written empty and cosine stays available through the SQL path."""
     import numpy as np
     import pyarrow as pa
 
-    seg = rb.column("seg").to_numpy(zero_copy_only=False)
-    term_col = rb.column("term")
+    term_col = rb.column("term_first")
     doc = rb.column("doc_int").to_numpy(zero_copy_only=False)
     wt = rb.column("weight").to_numpy(zero_copy_only=False)
-    nwt = rb.column("nweight").to_numpy(zero_copy_only=False)
-    change = np.flatnonzero(_group_change(rb)) + 1
+    nwt = rb.column("nweight").to_numpy(zero_copy_only=False) if pack_cosine else None
+    change = _group_starts(rb)
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [rb.num_rows]))
     out: dict[str, list] = {k: [] for k in [
@@ -300,8 +301,12 @@ def _pack_batch(rb, block_size: int):
     ]}
     for s, e in zip(starts, ends):
         tval = term_col[s].as_py()
-        for b in pack_postings(doc[s:e], wt[s:e], block_size, nweights=nwt[s:e]):
-            out["seg"].append(int(seg[s]))
+        seg_val = int(doc[s]) // segment_docs
+        for b in pack_postings(
+            doc[s:e], wt[s:e], block_size,
+            nweights=nwt[s:e] if nwt is not None else None,
+        ):
+            out["seg"].append(seg_val)
             out["term"].append(tval)
             out["block_id"].append(b["block_id"])
             out["n"].append(b["n"])
@@ -310,70 +315,99 @@ def _pack_batch(rb, block_size: int):
             out["max_weight"].append(b["max_weight"])
             out["docs"].append(b["docs"])
             out["wts"].append(b["wts"])
-            out["max_nweight"].append(b["max_nweight"])
-            out["nwts"].append(b["nwts"])
+            out["max_nweight"].append(b.get("max_nweight", 0.0))
+            out["nwts"].append(b.get("nwts", b""))
     return pa.RecordBatch.from_pydict(out, schema=_postings_pa_schema())
 
 
-def pack_doc_terms(dt: DataFrame, segment_docs: int, block_size: int) -> DataFrame:
+def pack_doc_terms(
+    dt: DataFrame, segment_docs: int, block_size: int, pack_cosine: bool = True
+) -> DataFrame:
     """doc_terms → packed posting blocks via a STREAMING ``mapInArrow``
-    packer: rows are seg-colocated (repartition by seg) and sorted by
-    (seg, term, doc_int); the kernel splits each Arrow batch at group
-    boundaries and carries the trailing partial group into the next batch.
+    packer: rows are seg-colocated and (seg, term, doc_int)-sorted by the
+    lag window's own exchange+sort; the kernel splits each Arrow batch at
+    group boundaries and carries the trailing partial group into the next
+    batch.
 
     Replaces ``groupBy(seg, term).applyInPandas``: at 10^6 turns that is
     ~310k pandas groups whose per-group machinery dominated the postings
     stage (measured 179s → the pack itself is ~100µs/group); the streaming
     packer pays per-batch, not per-group.  Arrow (not pandas) because the
     input is posting-grain: converting 60M term strings to Python objects
-    per build was a measured bandwidth term; here they stay columnar."""
-    import pyarrow as pa
+    per build was a measured bandwidth term; here they stay columnar.
 
-    nweight = (
-        F.col("nweight")
-        if "nweight" in dt.columns
-        else F.when(F.col("norm") > 0, F.col("weight") / F.col("norm")).otherwise(F.lit(0.0))
-    )
-    with_seg = (
-        dt.select(
-            (F.col("doc_int") / F.lit(segment_docs)).cast("long").alias("seg"),
-            "term",
-            "doc_int",
-            "weight",
-            nweight.alias("nweight"),
+    The Arrow hop's INPUT is slimmed to the bytes the kernel actually
+    needs (round-2 scaling verdict: the pack hop's bytes, not its plan
+    shape, capped build efficiency):
+
+    * ``term`` ships only on each group's first row (``term_first``,
+      computed by a JVM ``lag`` window over the same (seg → term, doc_int)
+      sort the packer needs anyway — no extra exchange, no extra sort);
+    * ``seg`` is not shipped at all (derived in-kernel from ``doc_int``);
+    * ``nweight`` ships only when ``pack_cosine`` is on.
+    """
+    import pyarrow as pa
+    from pyspark.sql.window import Window
+
+    cols = [
+        (F.col("doc_int") / F.lit(segment_docs)).cast("long").alias("seg"),
+        F.col("term"),
+        F.col("doc_int"),
+        F.col("weight"),
+    ]
+    if pack_cosine:
+        nweight = (
+            F.col("nweight")
+            if "nweight" in dt.columns
+            else F.when(F.col("norm") > 0, F.col("weight") / F.col("norm")).otherwise(F.lit(0.0))
         )
+        cols.append(nweight.alias("nweight"))
+    # the window's required clustering (seg) is satisfied by the explicit
+    # repartition; its sort spec (seg, term, doc_int) IS the packer's input
+    # order — one exchange + one sort total, same as the round-2 plan
+    w = Window.partitionBy("seg").orderBy("term", "doc_int")
+    slim = (
+        dt.select(*cols)
         .repartition(F.col("seg"))
-        .sortWithinPartitions("seg", "term", "doc_int")
+        .withColumn(
+            "term_first",
+            F.when(F.lag("term").over(w) == F.col("term"), F.lit(None).cast("string"))
+            .otherwise(F.col("term")),
+        )
+        .select(
+            ["term_first", "doc_int", "weight"] + (["nweight"] if pack_cosine else [])
+        )
     )
 
     def packer(batches):
-        import numpy as np
-
         carry: pa.RecordBatch | None = None
         for rb in batches:
             if carry is not None and carry.num_rows:
                 rb = pa.Table.from_batches([carry, rb]).combine_chunks().to_batches()[0]
             if rb.num_rows == 0:
                 continue
-            idx = np.flatnonzero(_group_change(rb)) + 1
+            idx = _group_starts(rb)
             if len(idx) == 0:
                 carry = rb  # whole batch is one (possibly continuing) group
                 continue
             last_start = int(idx[-1])
             complete, carry = rb.slice(0, last_start), rb.slice(last_start)
-            yield _pack_batch(complete, block_size)
+            yield _pack_batch(complete, block_size, segment_docs, pack_cosine)
         if carry is not None and carry.num_rows:
-            yield _pack_batch(carry, block_size)
+            yield _pack_batch(carry, block_size, segment_docs, pack_cosine)
 
-    return with_seg.mapInArrow(packer, schema=POSTINGS_SCHEMA)
+    return slim.mapInArrow(packer, schema=POSTINGS_SCHEMA)
 
 
 def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = None) -> dict:
     """Weighted postings in two layouts.
 
-    1. ``doc_terms`` — exploded (tb, term, doc_int, tf, weight, norm),
+    1. ``doc_terms`` — exploded (tb, term, doc_int, weight, norm),
        hive-partitioned by term bucket ``tb`` for query-time partition
        pruning (a query's handful of terms touches a handful of buckets).
+       ``tf`` is NOT persisted: weight already folds it in and no query or
+       maintenance path reads it (``refresh_stats`` re-tokenizes) — at
+       posting grain the column was pure parquet + shuffle bytes.
        The repartition before the write is **salted for hot terms**: a
        Zipfian head term would otherwise put its whole posting mass in one
        task; salting by ``pmod(doc_int, hot_term_salt)`` splits it.
@@ -463,7 +497,7 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = N
                 F.col("_hot") == 1, F.pmod(F.col("doc_int"), F.lit(cfg.hot_term_salt))
             ).otherwise(F.lit(0)),
         )
-        .select("tb", "term", "doc_int", "tf", "weight", "norm", "_salt")
+        .select("tb", "term", "doc_int", "weight", "norm", "_salt")
     )
     # sortWithinPartitions(term) gives tight parquet row-group min/max stats
     # on term, so query-time `term IN (...)` predicates prune row groups, not
@@ -484,6 +518,7 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = N
         with_norm.select("term", "doc_int", "weight", "norm"),
         cfg.segment_docs,
         cfg.block_size,
+        pack_cosine=cfg.pack_cosine,
     ).sortWithinPartitions("term", "block_id")
     cat.write(packed, "postings", partition_by=["seg"])
     with_norm.unpersist()
@@ -553,6 +588,7 @@ def build_index(
         "block_size": cat.config.block_size,
         "term_buckets": cat.config.term_buckets,
         "build_partitions": cat.config.build_partitions,
+        "pack_cosine": cat.config.pack_cosine,
     }
     stats = cat.corpus_stats(spark)
     # appends continue after the densely-assigned build ids (0..n_docs-1);

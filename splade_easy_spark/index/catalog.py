@@ -6,7 +6,7 @@ for ``spark.read/write.format("iceberg")`` + snapshot commits without
 touching the build or query code (SURVEY.md §1.4).  Table names are fixed:
 
 - ``docs``         doc_id, conv_id, turn_idx, role, tool, ts, text, doc_len, doc_int
-- ``doc_terms``    exploded postings: tb, term, doc_int, tf, weight, norm
+- ``doc_terms``    exploded postings: tb, term, doc_int, weight, norm
                    (SQL path; norm = L2 of the doc's weight vector,
                    denormalized in so cosine scoring needs no join)
 - ``postings``     packed blocks, hive-partitioned by doc segment:

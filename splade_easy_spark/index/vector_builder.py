@@ -106,7 +106,7 @@ def build_vector_index(
     doc_terms = (
         doc_terms_raw.join(norms, "doc_int")
         .withColumn("tb", term_bucket_expr(F.col("term"), cfg.term_buckets))
-        .select("tb", "term", "doc_int", F.lit(1).alias("tf"), "weight", "norm")
+        .select("tb", "term", "doc_int", "weight", "norm")
     )
     cat.write(
         doc_terms.repartition(cfg.build_partitions, "tb").sortWithinPartitions("term", "doc_int"),
@@ -117,6 +117,7 @@ def build_vector_index(
         doc_terms.select("term", "doc_int", "weight", "norm"),
         cfg.segment_docs,
         cfg.block_size,
+        pack_cosine=cfg.pack_cosine,
     ).sortWithinPartitions("term", "block_id")
     cat.write(packed, "postings", partition_by=["seg"])
     doc_terms_raw.unpersist()
@@ -130,6 +131,7 @@ def build_vector_index(
         "block_size": cfg.block_size,
         "term_buckets": cfg.term_buckets,
         "build_partitions": cfg.build_partitions,
+        "pack_cosine": cfg.pack_cosine,
     }
     man.data["next_doc_int"] = int(agg["n"])
     man.save()
@@ -219,7 +221,7 @@ def append_vector_documents(
     doc_terms = (
         doc_terms_raw.join(norms, "doc_int")
         .withColumn("tb", term_bucket_expr(F.col("term"), cfg.term_buckets))
-        .select("tb", "term", "doc_int", F.lit(1).alias("tf"), "weight", "norm")
+        .select("tb", "term", "doc_int", "weight", "norm")
     )
     doc_terms.repartition(min(cfg.build_partitions, 8), "tb").sortWithinPartitions(
         "term", "doc_int"
@@ -228,6 +230,7 @@ def append_vector_documents(
         doc_terms.select("term", "doc_int", "weight", "norm"),
         cfg.segment_docs,
         cfg.block_size,
+        pack_cosine=man.data.get("layout", {}).get("pack_cosine", cfg.pack_cosine),
     )
     packed.write.mode("append").partitionBy("seg").parquet(cat.table_dir("postings"))
 

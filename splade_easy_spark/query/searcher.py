@@ -193,9 +193,12 @@ class Searcher:
             from splade_easy_spark.query.wand import wand_search_scores
 
             postings = self.cat.read(self.spark, "postings")
-            if use_cosine and "nwts" not in postings.columns:
-                # index built before normalized weights were packed —
-                # cosine still answers through the SQL path
+            if use_cosine and (
+                "nwts" not in postings.columns
+                or not self.cat.manifest.data.get("layout", {}).get("pack_cosine", True)
+            ):
+                # index without a normalized weight stream (pre-nwts build,
+                # or pack_cosine=False) — cosine answers via the SQL path
                 method = "sql"
         if method == "wand":
             seg_docs = int(
@@ -255,8 +258,11 @@ class Searcher:
             from splade_easy_spark.query.wand import wand_search_many_scores
 
             postings = self.cat.read(self.spark, "postings")
-            if use_cosine and "nwts" not in postings.columns:
-                method = "sql"  # pre-nwts index: cosine via the SQL path
+            if use_cosine and (
+                "nwts" not in postings.columns
+                or not self.cat.manifest.data.get("layout", {}).get("pack_cosine", True)
+            ):
+                method = "sql"  # no normalized stream: cosine via SQL path
         if method == "wand":
             qt = {
                 q["query_id"]: analyze_query(q["text"], self.config) for q in queries

@@ -167,3 +167,46 @@ def test_analyzer_mismatch_rejected(corpus, spark):
     bad = IndexConfig(analyzer=AnalyzerConfig(token_pattern="[a-z]+"))
     with pytest.raises(ValueError, match="analyzer mismatch"):
         Searcher(spark, idx_dir, bad)
+
+
+def test_pack_cosine_off_build(spark, tmp_path):
+    """pack_cosine=False skips the normalized-weight stream: BM25 WAND
+    stays exact, cosine transparently answers through the SQL path (same
+    results as a pack_cosine=True index), and doc_terms carries no tf."""
+    cfg_off = IndexConfig(
+        build_partitions=8, term_buckets=16, segment_docs=256, block_size=64,
+        pack_cosine=False,
+    )
+    idx_off = str(tmp_path / "idx_off")
+    idx_on = str(tmp_path / "idx_on")
+    tx = generate_transcripts(spark, num_convs=12, seed=9)
+    build_index(spark, tx, idx_off, cfg_off)
+    build_index(spark, tx, idx_on, CFG)
+
+    s_off = Searcher(spark, idx_off, cfg_off)
+    s_on = Searcher(spark, idx_on, CFG)
+    assert "tf" not in s_off.doc_terms.columns
+    # the nwts columns exist (stable schema) but hold no stream
+    post = s_off.cat.read(spark, "postings")
+    assert post.where(F.length("nwts") > 0).limit(1).count() == 0
+
+    for q in generate_query_set(6, seed=13):
+        bm_sql = [(r["doc_id"], r["score"]) for r in s_off.search(q["text"], 5).collect()]
+        bm_wand = [
+            (r["doc_id"], r["score"])
+            for r in s_off.search(q["text"], 5, method="wand").collect()
+        ]
+        assert [d for d, _ in bm_sql] == [d for d, _ in bm_wand]
+        # cosine on the stripped index (falls back to SQL) == cosine on the
+        # full index, either method
+        cos_off = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in s_off.search(q["text"], 5, use_cosine=True, method="wand").collect()
+        ]
+        cos_on = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in s_on.search(q["text"], 5, use_cosine=True, method="wand").collect()
+        ]
+        assert [d for d, _ in cos_off] == [d for d, _ in cos_on]
+        for (_, a), (_, b) in zip(cos_off, cos_on):
+            assert abs(a - b) <= 1e-5 * max(1.0, abs(b))
