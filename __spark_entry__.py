@@ -7,8 +7,11 @@ the training-data ops); each callable (spark, sf_dir) -> DataFrame.
 deterministic hashing: first-8-hex-of-md5 → BIGINT; identical BM25/quality/
 LSH formulas; floats rounded identically on both sides).
 
-Only `ann_lsh_topk` (approximate path, exercised against the exact oracle in
-pytest instead) omits an oracle on purpose; everything else is gated.
+Every entry is oracle-gated.  The approximate-ANN machinery is gated in
+EXACTNESS mode (multi-probe LSH at radius=planes; IVF at nprobe=n_cells —
+both provably equal to brute force, so the exact `ann_topk` oracle applies);
+the approximate knobs themselves (radius<planes, nprobe<n_cells, single-
+probe buckets) are covered by recall/subset assertions in tests/test_ops.py.
 """
 
 from __future__ import annotations
@@ -300,26 +303,57 @@ def q_ann_topk(spark, sf_dir):
     return out.select("probe_id", "rank", "vec_id", F.round("cosine", 5).alias("cosine"))
 
 
-def q_ann_lsh_topk(spark, sf_dir):
+def _sql_ann_exact() -> str:
+    """Exact brute-force cosine top-k oracle — shared by ann_topk and the
+    two approximate-ANN gates run at their exactness knobs."""
+    return f"""
+WITH e AS (SELECT vec_id, {_SQL_EMB_D} AS emb FROM embeddings),
+p AS (SELECT vec_id AS probe_id, emb FROM e WHERE vec_id IN ({', '.join(map(str, ANN_PROBES))})),
+scored AS (
+  SELECT p.probe_id, a.vec_id,
+         list_dot_product(a.emb, p.emb)
+         / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(p.emb, p.emb))) AS cosine
+  FROM e a CROSS JOIN p WHERE a.vec_id != p.probe_id
+),
+ranked AS (
+  SELECT probe_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT probe_id, rank::INT AS rank, vec_id, round(cosine, 5) AS cosine
+FROM ranked WHERE rank <= {ANN_K}"""
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN gated in EXACTNESS mode: nprobe == n_cells probes every
+    inverted list, which is provably brute force regardless of the KMeans
+    assignment — so the exact `ann_topk` DuckDB oracle applies and the gate
+    proves the whole IVF pipeline (normalize → fit → cell assign → probe
+    expansion → scored join → window top-k) end-to-end.  The approximate
+    knob (nprobe < n_cells) is covered by
+    tests/test_ops.py::test_ivf_topk_recall_and_exact_at_full_nprobe."""
     emb = _emb(spark, sf_dir)
     probes = emb.where(F.col("vec_id").isin(ANN_PROBES)).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    out = similarity.lsh_bucket_topk(emb, probes, dim=EMB_DIM, k=ANN_K, planes=LSH_PLANES)
+    out = similarity.ivf_topk(emb, probes, k=ANN_K, n_cells=8, nprobe=8)
     return out.select("probe_id", "rank", "vec_id", F.round("cosine", 5).alias("cosine"))
 
 
 def q_ann_multiprobe_topk(spark, sf_dir):
-    """Multi-probe LSH (recall knob): Hamming-radius-1 bucket expansion over
-    the same hyperplane table — approximate by design (no SQL oracle;
-    recall >= 0.9 vs the exact path asserted in
-    tests/test_ops.py::test_lsh_multiprobe_recall)."""
+    """Multi-probe LSH gated in EXACTNESS mode: probe_radius == planes
+    expands to every bucket (exact brute force), so the exact `ann_topk`
+    oracle applies and the gate proves the hyperplane hashing + Hamming
+    bucket expansion + scored join end-to-end.  The recall knob
+    (radius < planes) is covered by
+    tests/test_ops.py::test_lsh_multiprobe_recall (monotone in radius,
+    >= 0.9 at r=3 on worst-case gaussians)."""
     emb = _emb(spark, sf_dir)
     probes = emb.where(F.col("vec_id").isin(ANN_PROBES)).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     out = similarity.lsh_multiprobe_topk(
-        emb, probes, dim=EMB_DIM, k=ANN_K, planes=LSH_PLANES, probe_radius=1
+        emb, probes, dim=EMB_DIM, k=ANN_K, planes=LSH_PLANES, probe_radius=LSH_PLANES
     )
     return out.select("probe_id", "rank", "vec_id", F.round("cosine", 5).alias("cosine"))
 
@@ -425,7 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "events_hourly": q_events_hourly,
@@ -564,22 +598,12 @@ hashes AS (
 )
 SELECT doc_id, hs[1] AS f0, hs[2] AS f1, hs[3] AS f2, hs[4] AS f3
 FROM hashes WHERE len(hs) >= 4""",
-        "ann_topk": f"""
-WITH e AS (SELECT vec_id, {_SQL_EMB_D} AS emb FROM embeddings),
-p AS (SELECT vec_id AS probe_id, emb FROM e WHERE vec_id IN ({', '.join(map(str, ANN_PROBES))})),
-scored AS (
-  SELECT p.probe_id, a.vec_id,
-         list_dot_product(a.emb, p.emb)
-         / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(p.emb, p.emb))) AS cosine
-  FROM e a CROSS JOIN p WHERE a.vec_id != p.probe_id
-),
-ranked AS (
-  SELECT probe_id, vec_id, cosine,
-         row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
-  FROM scored
-)
-SELECT probe_id, rank::INT AS rank, vec_id, round(cosine, 5) AS cosine
-FROM ranked WHERE rank <= {ANN_K}""",
+        # one exact brute-force oracle serves ann_topk AND the two
+        # approximate families gated at their exactness knobs
+        # (multi-probe radius=planes; IVF nprobe=n_cells)
+        "ann_topk": _sql_ann_exact(),
+        "ann_ivf_topk": _sql_ann_exact(),
+        "ann_multiprobe_topk": _sql_ann_exact(),
         "embedding_near_dup": f"""
 WITH e AS (SELECT vec_id, label, {_SQL_EMB_D} AS emb FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_SQL_COS}, 5) AS cosine
