@@ -25,8 +25,13 @@ anti-joined against the existing docs table, so a re-delivered foreachBatch
 micro-batch appends nothing instead of double-registering doc_ids (round 1
 assigned fresh doc_ints to re-delivered docs, which then double-scored).
 The anti-join broadcasts the batch's ids and reads only the ``doc_id``
-column of docs (column-pruned); callers with an external exactly-once
-guarantee can pass ``dedupe=False`` to skip that scan.
+column of docs (column-pruned) WITHIN the batch's id range — docs is
+range-major sorted by doc_id, so the pushed ``between`` predicate prunes
+to the row groups overlapping [batch_min, batch_max], a constant set for
+time-clustered transcript ids rather than the round-2 O(index) column
+scan.  Callers with an external exactly-once guarantee can pass
+``dedupe=False`` to skip it; the streaming appender additionally skips
+fully-committed epochs outright via the manifest's committed-epoch log.
 
 New docs get doc_ints continuing after the current maximum, which means
 appended postings either open fresh segments or add extra block runs to the
@@ -84,9 +89,31 @@ def append_documents(
     )
     if dedupe:
         # within-batch first (re-delivered rows inside one batch), then
-        # against the index: broadcast the batch's ids, column-pruned scan
+        # against the index: broadcast the batch's ids, column-pruned scan.
         base = base.dropDuplicates(["doc_id"])
-        existing = cat.read(spark, "docs").select("doc_id")
+        # Bound the docs scan by the BATCH's id range: docs is written
+        # range-major sorted by doc_id, so the between-predicate reaches
+        # parquet row-group stats (PushedFilters) and the anti-join reads
+        # only row groups overlapping [batch_min, batch_max] — for
+        # time-clustered transcript ids (conv-prefixed) that is a handful
+        # of row groups regardless of index size, where round 2 scanned
+        # the whole doc_id column every micro-batch.  Worst case
+        # (adversarial ids spanning the whole range) degrades to the old
+        # full-column scan, never worse; callers with an external
+        # exactly-once guarantee skip via dedupe=False, and the streaming
+        # appender skips re-delivered epochs entirely via the manifest's
+        # committed-epoch log (streaming/appender.py) so this scan is its
+        # crash-retry heal path, not the steady state.
+        bounds = base.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return {"appended_docs": 0, "new_terms": 0, "elapsed_sec": round(time.time() - t0, 3)}
+        existing = (
+            cat.read(spark, "docs")
+            .where(F.col("doc_id").between(bounds["lo"], bounds["hi"]))
+            .select("doc_id")
+        )
         base = base.join(F.broadcast(existing.join(
             F.broadcast(base.select("doc_id")), "doc_id", "left_semi"
         )), "doc_id", "left_anti")

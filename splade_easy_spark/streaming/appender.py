@@ -5,12 +5,23 @@ append-only ingest CLI (``src/splade_easy/ingest/datasets.py:63-82``).
 Here the same incremental-append operator that serves batch ingest becomes
 a streaming sink via ``foreachBatch`` — each micro-batch of transcript
 turns is tokenized, weighted against the frozen statistics, and committed,
-giving an always-queryable, eventually-refreshed index.  Exactly-once at
-the doc_id grain: ``append_documents(dedupe=True)`` dedups the batch within
-itself and anti-joins it against the existing docs table, so a re-delivered
-micro-batch (foreachBatch is at-least-once across restarts) appends nothing
-instead of double-registering — asserted by
-tests/test_append_streaming.py::test_append_redelivery_is_idempotent.
+giving an always-queryable, eventually-refreshed index.
+
+Exactly-once is the standard two-layer foreachBatch transaction protocol:
+
+1. **Committed-epoch log** (steady state, O(1)): the manifest records the
+   last fully-committed ``epoch_id`` per checkpoint; foreachBatch epochs
+   are monotone per checkpoint and a restart re-delivers only the epoch
+   that was in flight, so ``epoch_id <= last_committed`` skips the batch
+   outright — no index scan at all, regardless of index size (round 2
+   anti-joined every re-delivered batch against the docs table's doc_id
+   column, an O(index) read per re-delivery at 10^12 turns).
+2. **Idempotent repair** (crash path): an epoch that started but never
+   reached the log may have partially appended; it re-runs through
+   ``append_documents(dedupe=True)``, whose doc_id anti-join (bounded by
+   the batch's id range against the range-major docs table) heals the
+   partial commit.  Asserted by
+   tests/test_append_streaming.py::test_append_redelivery_is_idempotent.
 
 ``turn_rate`` shows the conventional watermarked windowed aggregation over
 the same input shape (late-data tolerant ingest monitoring).
@@ -25,6 +36,39 @@ from splade_easy_spark.config import IndexConfig
 from splade_easy_spark.index.append import append_documents
 
 
+def make_epoch_sink(
+    index_dir: str, checkpoint_dir: str, config: IndexConfig | None = None
+):
+    """foreachBatch sink with the committed-epoch transaction log (module
+    docstring layer 1); factored out so tests can drive re-delivery
+    directly with explicit epoch ids."""
+    from splade_easy_spark.index.catalog import IndexCatalog
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        key = str(checkpoint_dir)
+        committed = (
+            IndexCatalog(index_dir, config)
+            .manifest.data.get("streams", {})
+            .get(key, {})
+            .get("last_committed_epoch", -1)
+        )
+        if int(epoch_id) <= int(committed):
+            return  # re-delivered, fully-committed epoch: nothing to do
+        append_documents(batch_df.sparkSession, index_dir, batch_df, config)
+        # record the commit LAST (append_documents saved its own manifest
+        # state — reload so next_doc_int/appends are not clobbered); a
+        # crash before this line re-runs the epoch through the repair path
+        man = IndexCatalog(index_dir, config).manifest
+        man.data.setdefault("streams", {})[key] = {
+            "last_committed_epoch": int(epoch_id)
+        }
+        man.save()
+
+    return sink
+
+
 def stream_append(
     spark: SparkSession,
     index_dir: str,
@@ -36,12 +80,9 @@ def stream_append(
     """Attach a streaming DataFrame of transcript turns as an index
     appender.  Returns the StreamingQuery (caller stops it)."""
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        append_documents(batch_df.sparkSession, index_dir, batch_df, config)
-
-    writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    writer = stream.writeStream.foreachBatch(
+        make_epoch_sink(index_dir, checkpoint_dir, config)
+    ).option("checkpointLocation", checkpoint_dir)
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
