@@ -125,6 +125,24 @@ def main() -> None:
         extra["wand_blocks_decoded"] = bd
         extra["wand_block_skip_ratio"] = round(1 - bd / bt, 4) if bt else 0.0
 
+        # batch kernel's lazy decode cache: blocks no query in the batch
+        # needed stay packed (round 2 decoded the whole query-term union)
+        from splade_easy_spark.query.wand import wand_batch_profile
+
+        qt = {q["query_id"]: analyze_query(q["text"], cfg) for q in qset}
+        bprof = wand_batch_profile(
+            spark,
+            searcher.cat.read(spark, "postings"),
+            {k: v for k, v in qt.items() if v},
+            cfg.segment_docs,
+            top_k=10,
+        ).collect()
+        bbt = sum(r["blocks_total"] for r in bprof)
+        bbd = sum(r["blocks_decoded"] for r in bprof)
+        extra["batch_blocks_total"] = bbt
+        extra["batch_blocks_decoded"] = bbd
+        extra["batch_block_decode_ratio"] = round(bbd / bbt, 4) if bbt else 0.0
+
         for name in ["bm25_topk", "lsh_candidates", "ann_topk", "quality_features", "language_id"]:
             fn = entry.queries()[name]
             t0 = time.time()

@@ -285,16 +285,31 @@ def _pruned_with_tombstones(
     qterms: list[str],
     deleted: DataFrame | None,
     segment_docs: int,
+    wcol: str = "wts",
+    mcol: str = "max_weight",
 ) -> DataFrame:
     """Term filter FIRST (parquet predicate pushdown — only the query's
-    posting lists are read), union the packed tombstones, then colocate each
-    segment's surviving blocks in one partition.  The kernel needs a
-    segment's blocks together to produce complete document scores; this
-    repartition moves only the query's postings (same volume the SQL path
-    shuffles into its join)."""
-    pruned = postings.where(F.col("term").isin(qterms))
+    posting lists are read), prune to the columns THIS score mode's kernel
+    reads, union the packed tombstones, then colocate each segment's
+    surviving blocks in one partition.  The kernel needs a segment's blocks
+    together to produce complete document scores; this repartition moves
+    only the query's postings (same volume the SQL path shuffles into its
+    join).
+
+    The column pruning matters as much as the term filter: the postings
+    table carries BOTH weight streams (``wts`` and the cosine-mode
+    ``nwts``, equal-sized) plus ``block_id``; a dot-mode query that
+    shipped the full schema would pay ~2× the weight bytes through the
+    seg exchange AND the Arrow hop into the kernel — the measured scaling
+    cap on this box is exactly bytes through that hop.  The projection
+    lands below the exchange (Catalyst pushes it into the scan), so the
+    unused stream is never read, shuffled, or IPC'd."""
+    cols = ["seg", "term", "n", "doc_min", "doc_max", mcol, "docs", wcol]
+    pruned = postings.where(F.col("term").isin(qterms)).select(*cols)
     if deleted is not None:
-        pruned = pruned.unionByName(_tombstone_blocks(deleted, segment_docs))
+        pruned = pruned.unionByName(
+            _tombstone_blocks(deleted, segment_docs).select(*cols)
+        )
     return pruned.repartition(F.col("seg"))
 
 
@@ -317,7 +332,7 @@ def wand_search_scores(
     qterms = [t for t, _ in terms]
     b_qw = spark.sparkContext.broadcast(dict(terms))
     wcol, mcol = ("nwts", "max_nweight") if use_cosine else ("wts", "max_weight")
-    pruned = _pruned_with_tombstones(postings, qterms, deleted, segment_docs)
+    pruned = _pruned_with_tombstones(postings, qterms, deleted, segment_docs, wcol, mcol)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         frames = [b for b in batches if len(b)]
@@ -352,7 +367,7 @@ def wand_profile(
     qterms = [t for t, _ in terms]
     b_qw = spark.sparkContext.broadcast(dict(terms))
     wcol, mcol = ("nwts", "max_nweight") if use_cosine else ("wts", "max_weight")
-    pruned = _pruned_with_tombstones(postings, qterms, deleted, segment_docs)
+    pruned = _pruned_with_tombstones(postings, qterms, deleted, segment_docs, wcol, mcol)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         frames = [b for b in batches if len(b)]
@@ -545,7 +560,7 @@ def _batch_prepared(
         [(qid, sorted(queries_terms[qid], key=lambda tw: tw[0])) for qid in qids]
     )
     wcol, mcol = ("nwts", "max_nweight") if use_cosine else ("wts", "max_weight")
-    pruned = _pruned_with_tombstones(postings, all_terms, deleted, segment_docs)
+    pruned = _pruned_with_tombstones(postings, all_terms, deleted, segment_docs, wcol, mcol)
     return b_queries, wcol, mcol, pruned
 
 

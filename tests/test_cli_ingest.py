@@ -89,3 +89,30 @@ def test_ingest_resume_appends_only_new(spark, tmp_path):
     out = ingest(spark, c2, resume=True)
     assert out["mode"] == "resume-append" and out["ingested"] == 1
     assert spark.read.parquet(f"{idx}/docs").count() == 3
+
+
+def test_synth_id_ordinal_deterministic_pairing(spark, tmp_path):
+    """Round-2 ADVICE (medium): duplicate texts share a content hash; the
+    per-hash ordinal must pair doc_id with metadata DETERMINISTICALLY
+    across runs and parallelism levels (the old window ordered by the
+    partition key itself, leaving the pairing to shuffle luck)."""
+    from splade_easy_spark.ingest import IngestConfig, to_transcripts
+
+    rows = [("same text", f"meta_{i}") for i in range(6)] + [("other", "m")]
+    cfg = IngestConfig(
+        input_path="unused", index_path="unused",
+        text_columns=["body"], metadata_columns=["tag"],
+    )
+
+    def pairing(partitions):
+        df = spark.createDataFrame(rows, "body STRING, tag STRING").repartition(partitions)
+        out = to_transcripts(df, cfg)
+        return sorted(
+            (f"{r['conv_id']}#{r['turn_idx']}", r["tool"]) for r in out.collect()
+        )
+
+    p1 = pairing(1)
+    for trial in range(3):
+        assert pairing(8) == p1, f"trial {trial}: doc_id↔metadata pairing unstable"
+    # all copies kept distinct ids
+    assert len({d for d, _ in p1}) == len(rows)

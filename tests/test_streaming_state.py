@@ -106,3 +106,50 @@ def test_stateful_sessionization_within_batch_splits(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sess_out2").collect()
     }
     assert got == {(7, 1): (2, 10, 3.0), (7, 2): (1, 0, 3.0)}
+
+
+def test_late_event_keeps_session_bounds_monotone(spark, tmp_path):
+    """Round-2 ADVICE (low): a late-but-within-watermark event that is
+    OLDER than the carried session state must extend the session's start
+    backward — never move `last` backward (which shrank duration_s and
+    closed the session prematurely)."""
+    from splade_easy_spark.streaming import sessionize_stream
+
+    base = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    # batch 1: user 1 at +1000s
+    b1 = [(0, base + 1000 * sec, 1, 4.0)]
+    # batch 2: LATE user-1 event at +500s (inside the 2000s watermark and
+    # within the gap of the carried last=+1000s) + a far-future user-2
+    # event that advances the watermark past user 1's last+gap → flush
+    b2 = [(1, base + 500 * sec, 1, 6.0), (2, base + 100_000 * sec, 2, 1.0)]
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sessionize_stream(stream, gap_seconds=1800, watermark="2000 seconds")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_s"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM late_sess_out").collect()
+    }
+    # the session spans [+500, +1000]: 2 events, 500s, 4+6 — a backward
+    # `last` would have reported duration 0 or closed at the wrong time
+    assert rows[(1, 1)] == (2, 500, 10.0)

@@ -103,6 +103,46 @@ def main() -> None:
     )
     sections.append(
         (
+            "batch search_many — WAND path (shared lazy-decode kernel)",
+            "ONE postings scan pruned to the UNION of all queries' terms "
+            "(PushedFilters), one seg Exchange, one MapInPandas batch "
+            "kernel (per-query work stays inside it — no per-query jobs, "
+            "no postings×queries join blowup), window top-k per query_id.",
+            formatted(
+                s.search_many(
+                    [
+                        {"query_id": "q1", "text": "baba0 ceba1"},
+                        {"query_id": "q2", "text": "diba2 baba0"},
+                    ],
+                    top_k=5,
+                    method="wand",
+                )
+            ),
+        )
+    )
+    from pyspark.sql import functions as F
+    from splade_easy_spark.index.builder import pack_doc_terms
+
+    pack_input = spark.range(1000).select(
+        (F.col("id") % 200).alias("doc_int"),
+        F.concat(F.lit("t"), (F.col("id") % 9).cast("string")).alias("term"),
+        F.rand(1).alias("weight"),
+        (F.rand(2) + 1.0).alias("norm"),
+    )
+    sections.append(
+        (
+            "build — postings pack (slim Arrow hop)",
+            "exactly ONE Exchange (hashpartitioning on seg) and ONE Sort "
+            "(seg, term, doc_int) feeding the Window whose lag() nulls the "
+            "term on non-group-first rows; the MapInArrow packer input "
+            "carries only (term_first, doc_int, weight, nweight) — no seg "
+            "column, no per-posting term string (the round-2 scaling cap "
+            "was bytes through this hop).",
+            formatted(pack_doc_terms(pack_input, 1 << 14, 128)),
+        )
+    )
+    sections.append(
+        (
             "MinHash-LSH candidate pairs",
             "ONE explode of shingles feeding all signature min-aggs "
             "(no duplicated subtrees), banded bucket SortMergeJoin/"

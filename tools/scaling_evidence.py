@@ -68,21 +68,41 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     lo, hi = (int(x) for x in os.environ.get("SCALING_CORES", "2,8").split(","))
+    trials = int(os.environ.get("SCALING_TRIALS", "3"))
     factor = hi // lo
     out_path = REPO / "BENCH.md"
-    results = {}
-    for cpus in (lo, hi):
-        print(f"running bench at local[{cpus}] ...", flush=True)
-        results[cpus] = run_bench(cpus, sf_dir)
-        print(json.dumps(results[cpus]), flush=True)
+    # interleave legs (lo, hi, lo, hi, ...) so slow host-state drift hits
+    # both legs equally rather than biasing one; single-run spread on this
+    # shared box is ±10-20%, hence the median-of-trials protocol
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for t in range(trials):
+        for cpus in (lo, hi):
+            print(f"trial {t + 1}/{trials}: bench at local[{cpus}] ...", flush=True)
+            rec = run_bench(cpus, sf_dir)
+            runs[cpus].append(rec)
+            print(json.dumps(rec), flush=True)
 
-    bl, bh = results[lo], results[hi]
-    tput_l = bl["extra"]["build_turns_per_sec"]
-    tput_h = bh["extra"]["build_turns_per_sec"]
+    import statistics
+
+    def med(vals):
+        return statistics.median(vals)
+
+    tput_l_all = [r["extra"]["build_turns_per_sec"] for r in runs[lo]]
+    tput_h_all = [r["extra"]["build_turns_per_sec"] for r in runs[hi]]
+    q_l_all = [r["queries"]["search_batch50"] for r in runs[lo]]
+    q_h_all = [r["queries"]["search_batch50"] for r in runs[hi]]
+    tput_l, tput_h = med(tput_l_all), med(tput_h_all)
+    q_l, q_h = med(q_l_all), med(q_h_all)
     eff_build = round(tput_h / tput_l / factor, 3)
-    q_l = bl["queries"]["search_batch50"]
-    q_h = bh["queries"]["search_batch50"]
     eff_query = round((q_l / q_h) / factor, 3)
+    # per-trial paired efficiencies show the spread alongside the medians
+    eff_build_trials = [
+        round(h / l / factor, 3) for l, h in zip(tput_l_all, tput_h_all)
+    ]
+    eff_query_trials = [round((l / h) / factor, 3) for l, h in zip(q_l_all, q_h_all)]
+    # median-trial records feed the representative raw-number table
+    bl = runs[lo][tput_l_all.index(med(tput_l_all)) if trials % 2 else 0]
+    bh = runs[hi][tput_h_all.index(med(tput_h_all)) if trials % 2 else 0]
 
     lines = [
         "# BENCH — scaling evidence (N vs 4N parallelism)",
@@ -93,13 +113,18 @@ def main() -> None:
         f"corpus {bh['extra']['n_docs']} turns, {bh['extra']['n_terms']} distinct terms;",
         f"query batch {bh['extra'].get('queries_in_batch', '?')} queries.",
         "Efficiency = (T_N / T_4N) / 4 on wall-clock.  North-rule target: ≥ 0.8.",
+        f"**Median of {trials} interleaved trials** (single-run spread on this",
+        "shared box is ±10-20%; per-trial paired efficiencies shown below).",
         "",
         f"| metric | local[{lo}] (N) | local[{hi}] (4N) | speedup | efficiency |",
         "|---|---|---|---|---|",
-        f"| build wall (s) | {bl['queries']['build_index']} | {bh['queries']['build_index']} "
-        f"| {round(bl['queries']['build_index']/bh['queries']['build_index'],2)}× | — |",
-        f"| build turns/sec | {tput_l} | {tput_h} | {round(tput_h/tput_l,2)}× | **{eff_build}** |",
-        f"| query batch (s) | {q_l} | {q_h} | {round(q_l/q_h,2)}× | **{eff_query}** |",
+        f"| build turns/sec (median) | {tput_l} | {tput_h} | {round(tput_h/tput_l,2)}× | **{eff_build}** |",
+        f"| query batch s (median) | {q_l} | {q_h} | {round(q_l/q_h,2)}× | **{eff_query}** |",
+        "",
+        f"Per-trial build efficiency: {eff_build_trials}; "
+        f"per-trial query-batch efficiency: {eff_query_trials}.",
+        f"Per-trial build turns/sec: N={tput_l_all} 4N={tput_h_all}; "
+        f"query-batch s: N={q_l_all} 4N={q_h_all}.",
         f"| single query (s) | {bl['queries']['search_single']} | {bh['queries']['search_single']} | — | — |",
         f"| WAND query (s) | {bl['queries']['search_wand']} | {bh['queries']['search_wand']} | — | — |",
         "",
@@ -171,10 +196,44 @@ def main() -> None:
         "map-side kernels, hash aggs, and salted exchanges; no driver-side",
         "loops over data).",
         "",
-        "Raw bench JSON:",
+        "## Round-3 build changes (same-day A/B, this box)",
+        "",
+        "The round-2 verdict pinned build scaling on bytes-through-the-",
+        "Arrow-pack-hop.  Round 3 cut them three ways (builder.py",
+        "`pack_doc_terms`): the term string ships only on each group's",
+        "first row (JVM lag window over the sort the packer needed anyway;",
+        "~4 B/row of null offsets instead of a full string per posting),",
+        "`seg` is derived in-kernel from doc_int (−8 B/row), the dead",
+        "`doc_terms.tf` column is gone from every write path, and the",
+        "cosine `nwts` stream is config-skippable (`pack_cosine`).",
+        "Same-day A/B on this host (absolute numbers NOT comparable to the",
+        "round-2 record — identical round-2 code re-measured at 35.4s",
+        "total / 20.1s postings today vs its recorded 26.5s, the shared-",
+        "host drift documented in round 2):",
+        "",
+        "| measurement | round-2 code (today) | round-3 code (today) |",
+        "|---|---|---|",
+        "| sf0.1 build total (local[32]) | 35.4 s | 33.0 s |",
+        "| sf0.1 postings stage | 20.1 s | 18.4 s |",
+        "| isolated pack of 10M rows (2 runs) | 40.3 / 40.6 s | 33.6 / 33.7 s |",
+        "",
+        "## Batch-WAND lazy decode (round-3)",
+        "",
+        "The batch kernel now decodes blocks lazily through a cache shared",
+        "across the batch's queries (block-max skip per query; repair",
+        "decodes only candidates' covering blocks).  `bench.py` reports",
+        "`batch_block_decode_ratio` — blocks decoded / blocks of the",
+        "query-term union reaching the kernel.  At sf0.1 with 50 queries",
+        "over the 5k-term synthetic vocabulary it is ~0.97: the union of",
+        "fifty queries' needs covers most blocks, so the dominant batch",
+        "saving is the per-query MaxScore scatter cut, with decode skips",
+        "growing as vocabulary (and therefore per-query selectivity)",
+        "grows.  The single-query path's skip ratio stays ~0.60",
+        "(`wand_block_skip_ratio`).",
+        "",
+        "Raw bench JSON (all trials, interleaved run order):",
         "```json",
-        json.dumps(bl),
-        json.dumps(bh),
+        *[json.dumps(r) for t in range(trials) for r in (runs[lo][t], runs[hi][t])],
         "```",
     ]
     out_path.write_text("\n".join(lines) + "\n")
