@@ -74,9 +74,19 @@ def main() -> None:
     # interleave legs (lo, hi, lo, hi, ...) so slow host-state drift hits
     # both legs equally rather than biasing one; single-run spread on this
     # shared box is ±10-20%, hence the median-of-trials protocol
+    cooldown = int(os.environ.get("SCALING_COOLDOWN", "0"))
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     for t in range(trials):
         for cpus in (lo, hi):
+            if cooldown:
+                # the box throttles its WIDE legs under sustained load (the
+                # 4N build leg degraded 6036→5827→4068 turns/s across one
+                # back-to-back 3-trial marathon while the N legs held flat,
+                # and the pure-JVM probe's 8-core time recovered 16.6→11.7s
+                # with idle gaps) — rest the package before each leg so the
+                # measurement sees the hardware, not the previous leg's heat
+                print(f"cooldown {cooldown}s ...", flush=True)
+                time.sleep(cooldown)
             print(f"trial {t + 1}/{trials}: bench at local[{cpus}] ...", flush=True)
             rec = run_bench(cpus, sf_dir)
             runs[cpus].append(rec)
@@ -147,6 +157,15 @@ def main() -> None:
         "2→8 stays below the saturation knee and the probe itself scales ≥4×,",
         "making it the honest N→4N proxy.",
         "",
+        "**The 2→8 envelope itself drifts with host load history** (round-3",
+        "measurement): the SAME JVM probe run immediately after a 3-trial",
+        "bench marathon took 16.6s at 8 threads (2→8 efficiency 0.59), then",
+        "recovered to 12.5s and 11.7s on back-to-back re-runs as the package",
+        "rested (efficiency 0.78 → 0.81, the fresh-box envelope).  Any leg",
+        "measured on a hot box therefore understates scaling — the",
+        "`SCALING_COOLDOWN` knob rests the package before each leg, and",
+        "back-to-back marathon trials are reported as context, not evidence.",
+        "",
         "## The Arrow-IPC ceiling (what bounds the build number)",
         "",
         "A second probe isolates the Python-kernel data path: a ZERO-compute",
@@ -155,8 +174,8 @@ def main() -> None:
         "",
         "| threads | passthrough wall (s) | efficiency 2→8 |",
         "|---|---|---|",
-        "| 2 | 37.2 | — |",
-        "| 8 | 17.1–18.2 | **0.51–0.54** |",
+        "| 2 | 37.2 (r2) / 38.3 (r3 re-measure) | — |",
+        "| 8 | 17.1–18.2 (r2) / 19.8 (r3) | **0.48–0.54** |",
         "",
         "The IPC hop burns ~2× the CPU-seconds at 8 cores vs 2 (memory-",
         "subsystem contention across the per-task JVM-writer/Python-worker",
@@ -166,7 +185,9 @@ def main() -> None:
         "per-executor constant — adding executors multiplies it, exactly like",
         "the per-executor shuffle disks the tmpfs trick models.",
         "",
-        "Per-stage scaling, measured on the same corpus (pinned 2 vs 8):",
+        "Per-stage scaling, measured on the same corpus (pinned 2 vs 8,",
+        "round-2 measurement — stage SHAPE is unchanged in round 3; the",
+        "round-3 changes only shrink the bytes each stage moves):",
         "",
         "| build stage | kind | efficiency |",
         "|---|---|---|",
@@ -195,6 +216,25 @@ def main() -> None:
         "ceiling, with no serial bottleneck of its own (per-stage plans are",
         "map-side kernels, hash aggs, and salted exchanges; no driver-side",
         "loops over data).",
+        "",
+        "## Back-to-back marathon trials (context, round-3)",
+        "",
+        "Two full 3-trial interleaved marathons were run WITHOUT cooldowns",
+        "on 2026-08-16 (each ~40 min of sustained load).  The wide legs",
+        "degraded monotonically within each marathon while the narrow legs",
+        "held flat — the hot-box effect quantified above, not a property",
+        "of the job:",
+        "",
+        "| marathon | per-trial build eff | per-trial query eff | 4N build turns/s by trial |",
+        "|---|---|---|---|",
+        "| pre-column-pruning | 0.728, 0.722, 0.606 | 0.805, 0.722, 0.594 | 5055, 5071, 4549 |",
+        "| post-column-pruning | 0.746, 0.692, 0.487 | 0.511, 0.730, 0.676 | 6036, 5827, 4068 |",
+        "",
+        "Note the absolute wins from the round-3 column pruning land on BOTH",
+        "legs (N-leg query batch 15.0→12.0 s median, 4N-leg 5.6→4.4 s;",
+        "4N trial-1 build throughput 5055→6036 turns/s) — the efficiency",
+        "RATIO moves less than either leg because the pruning helps the",
+        "bandwidth-starved narrow leg most.",
         "",
         "## Round-3 build changes (same-day A/B, this box)",
         "",
