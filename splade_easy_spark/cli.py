@@ -10,6 +10,7 @@ points (``pyproject.toml:15-18``: ``ingest-dataset``, ``reshard``,
     python -m splade_easy_spark.cli delete  --index ./idx --doc-ids a#1,b#2
     python -m splade_easy_spark.cli compact --index ./idx
     python -m splade_easy_spark.cli reshard --index ./idx --segment-docs N --block-size N
+    python -m splade_easy_spark.cli optimize --index ./idx        # merge appended runs/small files
 """
 
 from __future__ import annotations
@@ -144,6 +145,17 @@ def cmd_reshard(args) -> int:
     return 0
 
 
+def cmd_optimize(args) -> int:
+    from splade_easy_spark.index.maintenance import optimize_postings
+
+    out = optimize_postings(
+        _spark(args), args.index, min_files=args.min_files,
+        doc_terms_min_files=args.doc_terms_min_files,
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_rollback_reshard(args) -> int:
     from splade_easy_spark.index.maintenance import rollback_reshard
 
@@ -216,6 +228,12 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--block-size", type=int, default=None)
     r.add_argument("--keep-originals", action="store_true")
     r.set_defaults(fn=cmd_reshard)
+
+    op = sub.add_parser("optimize")
+    op.add_argument("--index", required=True)
+    op.add_argument("--min-files", type=int, default=2)
+    op.add_argument("--doc-terms-min-files", type=int, default=8)
+    op.set_defaults(fn=cmd_optimize)
 
     rb = sub.add_parser("rollback-reshard")
     rb.add_argument("--index", required=True)

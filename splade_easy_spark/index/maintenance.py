@@ -226,3 +226,184 @@ def stats(spark: SparkSession, index_dir: str) -> dict:
         "avgdl": float(corpus["avgdl"] or 0.0),
         "tables": tables,
     }
+
+
+def optimize_postings(
+    spark: SparkSession,
+    index_dir: str,
+    config: IndexConfig | None = None,
+    min_files: int = 2,
+    doc_terms_min_files: int = 8,
+) -> dict:
+    """Partition-scoped coalescing for append-heavy indexes — the Iceberg
+    ``rewrite_data_files`` / Lucene segment-merge analog, and the missing
+    piece of the streaming-append story at 10^12 turns: every micro-batch
+    appends at least one parquet file AND one extra block run per touched
+    ``(seg, term)``, so a long-lived streamed index accretes thousands of
+    tiny files (listing + open cost per query) and short posting runs
+    (per-run kernel overhead, weaker block-max bounds on partial blocks).
+
+    Unlike ``reshard`` (full-index rewrite), this touches ONLY the seg
+    partitions whose file count reached ``min_files``: their block runs
+    are unpacked, merged per ``(seg, term)``, and repacked into minimal
+    full blocks, then the rewritten ``seg=N`` directories are swapped in
+    one by one — O(fragmented partitions), not O(index).  Weights are
+    preserved bit-exactly (float32 in, float32 out), so scores are
+    byte-identical before/after (the frozen-weight contract of this
+    module); tombstones are untouched (postings keep deleted docs until
+    ``compact``).  ``doc_terms`` ``tb=N`` partitions with ≥
+    ``doc_terms_min_files`` files are coalesced the same way (plain
+    re-sorted rewrite; row-group stats on ``term`` come back tight).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from splade_easy_spark.index.builder import POSTINGS_SCHEMA
+    from splade_easy_spark.index.postings import pack_postings, varbyte_decode
+
+    cat = IndexCatalog(index_dir, config)
+    man = cat.manifest
+    layout = man.data.get("layout", {})
+    block_size = int(layout.get("block_size", cat.config.block_size))
+    t0 = time.time()
+    _gc_rewrite_dirs(cat)
+
+    def _parquet_files(part_dir: Path) -> int:
+        return sum(1 for f in part_dir.glob("*.parquet"))
+
+    post_dir = Path(cat.table_dir("postings"))
+    seg_files = {
+        int(p.name.split("=", 1)[1]): _parquet_files(p)
+        for p in post_dir.glob("seg=*")
+        if p.is_dir()
+    }
+    frag_segs = sorted(s for s, n in seg_files.items() if n >= min_files)
+    rewritten_segs = 0
+    if frag_segs:
+        src = cat.read(spark, "postings").where(F.col("seg").isin(frag_segs))
+
+        def _merge_groups(pdf: pd.DataFrame):
+            """Repack each complete (seg, term) group of block-run rows."""
+            for (seg, term), g in pdf.groupby(["seg", "term"], sort=False):
+                g = g.sort_values(["doc_min", "block_id"], kind="stable")
+                docs_cat, wts_cat, nwts_cat = [], [], []
+                for dbuf, wbuf, nbuf, n in zip(g["docs"], g["wts"], g["nwts"], g["n"]):
+                    deltas = varbyte_decode(dbuf, int(n))
+                    docs_cat.append(np.cumsum(deltas.astype(np.int64)))
+                    wts_cat.append(np.frombuffer(wbuf, dtype=np.float32))
+                    if nbuf is not None and len(nbuf):
+                        nwts_cat.append(np.frombuffer(nbuf, dtype=np.float32))
+                docs = np.concatenate(docs_cat)
+                wts = np.concatenate(wts_cat).astype(np.float64)
+                nwts = (
+                    np.concatenate(nwts_cat).astype(np.float64)
+                    if len(nwts_cat) == len(docs_cat)
+                    else None
+                )
+                out: dict[str, list] = {k: [] for k in [
+                    "seg", "term", "block_id", "n", "doc_min", "doc_max",
+                    "max_weight", "docs", "wts", "max_nweight", "nwts",
+                ]}
+                for b in pack_postings(docs, wts, block_size, nweights=nwts):
+                    out["seg"].append(int(seg))
+                    out["term"].append(term)
+                    out["block_id"].append(b["block_id"])
+                    out["n"].append(b["n"])
+                    out["doc_min"].append(b["doc_min"])
+                    out["doc_max"].append(b["doc_max"])
+                    out["max_weight"].append(b["max_weight"])
+                    out["docs"].append(b["docs"])
+                    out["wts"].append(b["wts"])
+                    out["max_nweight"].append(b.get("max_nweight", 0.0))
+                    out["nwts"].append(b.get("nwts", b""))
+                yield pd.DataFrame(out)
+
+        def merge_runs(batches):
+            """Streaming over (seg, term)-sorted rows with a trailing-group
+            carry — memory is bounded by ONE term's runs within one segment
+            (≤ segment_docs postings), never a whole seg partition (a seg
+            holds ~segment_docs × avgdl postings at real scale)."""
+            carry: pd.DataFrame | None = None
+            for b in batches:
+                if not len(b):
+                    continue
+                if carry is not None and len(carry):
+                    b = pd.concat([carry, b], ignore_index=True)
+                # rows arrive sorted by (seg, term): the last (seg, term)
+                # pair may continue in the next batch — hold it back
+                last_seg = b["seg"].iloc[-1]
+                last_term = b["term"].iloc[-1]
+                tail = (b["seg"] == last_seg) & (b["term"] == last_term)
+                complete, carry = b[~tail], b[tail]
+                if len(complete):
+                    yield from _merge_groups(complete)
+            if carry is not None and len(carry):
+                yield from _merge_groups(carry)
+
+        staged = post_dir.with_name(post_dir.name + "__rewrite")
+        (
+            src.repartition(F.col("seg"))
+            .sortWithinPartitions("seg", "term")
+            .mapInPandas(merge_runs, schema=POSTINGS_SCHEMA)
+            .sortWithinPartitions("term", "block_id")
+            .write.partitionBy("seg")
+            .parquet(str(staged))
+        )
+        # per-partition swap: only the fragmented seg dirs move
+        for s in frag_segs:
+            live = post_dir / f"seg={s}"
+            new = staged / f"seg={s}"
+            if not new.exists():
+                continue  # seg held only empty files — nothing to swap
+            old = post_dir / f"seg={s}__old"
+            if old.exists():
+                shutil.rmtree(old)
+            live.rename(old)
+            new.rename(live)
+            shutil.rmtree(old)
+            rewritten_segs += 1
+        shutil.rmtree(staged, ignore_errors=True)
+
+    dt_dir = Path(cat.table_dir("doc_terms"))
+    tb_files = {
+        int(p.name.split("=", 1)[1]): _parquet_files(p)
+        for p in dt_dir.glob("tb=*")
+        if p.is_dir()
+    }
+    frag_tbs = sorted(t for t, n in tb_files.items() if n >= doc_terms_min_files)
+    rewritten_tbs = 0
+    if frag_tbs:
+        staged = dt_dir.with_name(dt_dir.name + "__rewrite")
+        (
+            cat.read(spark, "doc_terms")
+            .where(F.col("tb").isin(frag_tbs))
+            .repartition(max(1, len(frag_tbs)), "tb")
+            .sortWithinPartitions("term", "doc_int")
+            .write.partitionBy("tb")
+            .parquet(str(staged))
+        )
+        for t in frag_tbs:
+            live = dt_dir / f"tb={t}"
+            new = staged / f"tb={t}"
+            if not new.exists():
+                continue
+            old = dt_dir / f"tb={t}__old"
+            if old.exists():
+                shutil.rmtree(old)
+            live.rename(old)
+            new.rename(live)
+            shutil.rmtree(old)
+            rewritten_tbs += 1
+        shutil.rmtree(staged, ignore_errors=True)
+
+    metrics = {
+        "segs_rewritten": rewritten_segs,
+        "segs_total": len(seg_files),
+        "tb_partitions_rewritten": rewritten_tbs,
+        "elapsed_sec": round(time.time() - t0, 3),
+    }
+    if rewritten_segs or rewritten_tbs:
+        man.record_stage(
+            "optimize", {"postings": "postings", "doc_terms": "doc_terms"}, metrics
+        )
+    return metrics

@@ -210,3 +210,52 @@ def test_pack_cosine_off_build(spark, tmp_path):
         assert [d for d, _ in cos_off] == [d for d, _ in cos_on]
         for (_, a), (_, b) in zip(cos_off, cos_on):
             assert abs(a - b) <= 1e-5 * max(1.0, abs(b))
+
+
+def test_index_artifact_identical_across_parallelism(spark, tmp_path):
+    """North-rule invariant: the index ARTIFACT is a pure function of the
+    corpus — independent of build parallelism (doc_int = global rank via
+    the two-pass assigner; weights from corpus stats; packing from sorted
+    groups).  Build the same corpus at different build_partitions and
+    compare logical table content: ids, stats, and packed posting BYTES
+    must be identical (nwts compared at float32 resolution: the norm agg's
+    summation order is partitioning-dependent)."""
+    import numpy as np
+
+    tx = generate_transcripts(spark, num_convs=10, seed=53)
+    cfgs = {
+        "a": IndexConfig(build_partitions=3, term_buckets=16, segment_docs=256, block_size=64),
+        "b": IndexConfig(build_partitions=8, term_buckets=16, segment_docs=256, block_size=64),
+    }
+    rows = {}
+    for name, cfg in cfgs.items():
+        idx = str(tmp_path / name)
+        build_index(spark, tx, idx, cfg)
+        docs = sorted(
+            (r["doc_id"], r["doc_int"], r["doc_len"])
+            for r in spark.read.parquet(f"{idx}/docs").select("doc_id", "doc_int", "doc_len").collect()
+        )
+        tstats = sorted(
+            (r["term"], r["df"], r["max_tf"], round(r["idf"], 10))
+            for r in spark.read.parquet(f"{idx}/term_stats").collect()
+        )
+        post = sorted(
+            (
+                (r["seg"], r["term"], r["block_id"]),
+                (r["n"], r["doc_min"], r["doc_max"], bytes(r["docs"]), bytes(r["wts"])),
+                bytes(r["nwts"]),
+            )
+            for r in spark.read.parquet(f"{idx}/postings").collect()
+        )
+        rows[name] = (docs, tstats, post)
+
+    assert rows["a"][0] == rows["b"][0]  # docs: ids, ranks, lengths
+    assert rows["a"][1] == rows["b"][1]  # term stats
+    pa_, pb_ = rows["a"][2], rows["b"][2]
+    assert [p[0] for p in pa_] == [p[0] for p in pb_]  # same block set
+    assert [p[1] for p in pa_] == [p[1] for p in pb_]  # exact packed bytes
+    for (_, _, na), (_, _, nb) in zip(pa_, pb_):
+        xa = np.frombuffer(na, dtype=np.float32)
+        xb = np.frombuffer(nb, dtype=np.float32)
+        assert len(xa) == len(xb)
+        assert np.allclose(xa, xb, rtol=1e-6, atol=1e-7)

@@ -120,3 +120,82 @@ def test_reshard_keep_originals_and_rollback(spark, tmp_path):
     s2 = Searcher(spark, idx, CFG)
     after = [(r["doc_id"], round(r["score"], 9)) for r in s2.search("baba0 ceba1", 10).collect()]
     assert after == before
+
+
+def test_optimize_coalesces_appended_runs(spark, tmp_path):
+    """optimize_postings (Iceberg rewrite_data_files / Lucene-merge analog):
+    after appends fragment seg partitions into many files and short block
+    runs, optimize must (a) leave every score byte-identical on SQL and
+    WAND paths, (b) reduce per-(seg,term) runs to the minimal block count,
+    (c) shrink file counts, (d) respect tombstones, (e) be a no-op when
+    nothing is fragmented."""
+    from pathlib import Path
+
+    from splade_easy_spark.index.append import append_documents
+    from splade_easy_spark.index.maintenance import delete, optimize_postings
+
+    idx = str(tmp_path / "idx")
+    all_tx = generate_transcripts(spark, num_convs=12, seed=47)
+    build_index(spark, all_tx.where(F.col("conv_id") < "conv_00000008"), idx, CFG)
+    for seed in (48, 49):
+        append_documents(spark, idx, generate_transcripts(spark, num_convs=4, seed=seed), CFG)
+
+    s = Searcher(spark, idx, CFG)
+    victim = s.search("baba0", top_k=1, method="wand").collect()[0]["doc_id"]
+    delete(spark, idx, [victim])
+
+    queries = ["baba0 ceba1", "diba2 foba3 baba0"]
+    def snapshot():
+        s2 = Searcher(spark, idx, CFG)
+        out = {}
+        for q in queries:
+            for m in ("sql", "wand"):
+                out[(q, m)] = [
+                    (r["doc_id"], r["score"]) for r in s2.search(q, 15, method=m).collect()
+                ]
+            out[(q, "cos")] = [
+                (r["doc_id"], r["score"])
+                for r in s2.search(q, 15, use_cosine=True, method="wand").collect()
+            ]
+        return out
+
+    before = snapshot()
+    post_dir = Path(idx) / "postings"
+    files_before = sum(1 for _ in post_dir.glob("seg=*/*.parquet"))
+    # appends created multiple runs for hot (seg, term) pairs
+    runs = (
+        spark.read.parquet(str(post_dir))
+        .groupBy("seg", "term").count().where(F.col("count") > 1).count()
+    )
+    assert runs > 0, "fixture never fragmented — appends too small?"
+
+    out = optimize_postings(spark, idx, CFG)
+    assert out["segs_rewritten"] > 0
+
+    after = snapshot()
+    assert after == before  # scores byte-identical, tombstone still gone
+    assert all(victim not in {d for d, _ in v} for v in after.values())
+
+    files_after = sum(1 for _ in post_dir.glob("seg=*/*.parquet"))
+    assert files_after < files_before
+    # minimal packing: runs per (seg, term) == ceil(postings / block_size)
+    import math
+    post = spark.read.parquet(str(post_dir))
+    bad = (
+        post.groupBy("seg", "term")
+        .agg(F.count("*").alias("blocks"), F.sum("n").alias("postings"))
+        .where(F.col("blocks") != F.ceil(F.col("postings") / F.lit(CFG.block_size)))
+        .count()
+    )
+    assert bad == 0
+    # block ids are a clean 0..k sequence per (seg, term)
+    seq = (
+        post.groupBy("seg", "term")
+        .agg(F.count("*").alias("blocks"), F.max("block_id").alias("mx"))
+        .where(F.col("mx") != F.col("blocks") - 1)
+        .count()
+    )
+    assert seq == 0
+
+    again = optimize_postings(spark, idx, CFG)
+    assert again["segs_rewritten"] == 0  # idempotent: nothing left to merge
