@@ -37,11 +37,24 @@ from splade_easy_spark.index.append import append_documents
 
 
 def make_epoch_sink(
-    index_dir: str, checkpoint_dir: str, config: IndexConfig | None = None
+    index_dir: str,
+    checkpoint_dir: str,
+    config: IndexConfig | None = None,
+    optimize_every: int | None = None,
 ):
     """foreachBatch sink with the committed-epoch transaction log (module
     docstring layer 1); factored out so tests can drive re-delivery
-    directly with explicit epoch ids."""
+    directly with explicit epoch ids.
+
+    ``optimize_every=K`` runs ``maintenance.optimize_postings`` after
+    every K committed epochs — each micro-batch adds one parquet file and
+    one block run per touched (seg, term), so an unmaintained streamed
+    index accretes small files without bound; the periodic partition-
+    scoped merge keeps file counts and run counts flat at O(active segs),
+    with no external orchestration.  Optimize runs AFTER the epoch is
+    logged (it only rewrites committed data; a crash mid-optimize leaves
+    the live partitions untouched thanks to the staged per-partition
+    swap)."""
     from splade_easy_spark.index.catalog import IndexCatalog
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -61,10 +74,17 @@ def make_epoch_sink(
         # state — reload so next_doc_int/appends are not clobbered); a
         # crash before this line re-runs the epoch through the repair path
         man = IndexCatalog(index_dir, config).manifest
-        man.data.setdefault("streams", {})[key] = {
-            "last_committed_epoch": int(epoch_id)
-        }
+        st = man.data.setdefault("streams", {}).setdefault(key, {})
+        st["last_committed_epoch"] = int(epoch_id)
+        st["epochs_since_optimize"] = int(st.get("epochs_since_optimize", 0)) + 1
+        due = optimize_every and st["epochs_since_optimize"] >= optimize_every
+        if due:
+            st["epochs_since_optimize"] = 0
         man.save()
+        if due:
+            from splade_easy_spark.index.maintenance import optimize_postings
+
+            optimize_postings(batch_df.sparkSession, index_dir, config)
 
     return sink
 
@@ -76,12 +96,15 @@ def stream_append(
     checkpoint_dir: str,
     config: IndexConfig | None = None,
     trigger_seconds: int | None = None,
+    optimize_every: int | None = None,
 ):
     """Attach a streaming DataFrame of transcript turns as an index
-    appender.  Returns the StreamingQuery (caller stops it)."""
+    appender.  Returns the StreamingQuery (caller stops it).
+    ``optimize_every=K`` folds periodic partition-scoped maintenance into
+    the sink (see ``make_epoch_sink``)."""
 
     writer = stream.writeStream.foreachBatch(
-        make_epoch_sink(index_dir, checkpoint_dir, config)
+        make_epoch_sink(index_dir, checkpoint_dir, config, optimize_every)
     ).option("checkpointLocation", checkpoint_dir)
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")

@@ -240,3 +240,52 @@ def test_append_dedupe_scan_is_range_pruned(spark, tmp_path):
     )
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(doc_id" in plan and "LessThanOrEqual(doc_id" in plan
+
+
+def test_streaming_auto_optimize(spark, tmp_path):
+    """optimize_every folds maintenance into the sink: after K committed
+    epochs the fragmented seg/tb partitions are merged, search results
+    unchanged, and the epoch counter resets."""
+    from pathlib import Path
+
+    from splade_easy_spark.index.catalog import IndexCatalog
+    from splade_easy_spark.streaming.appender import make_epoch_sink
+
+    idx = str(tmp_path / "idx")
+    all_tx = generate_transcripts(spark, num_convs=10, seed=59)
+    build_index(spark, all_tx.where(F.col("conv_id") < "conv_00000004"), idx, CFG)
+
+    sink = make_epoch_sink(idx, str(tmp_path / "ckpt"), CFG, optimize_every=2)
+    batches = [
+        all_tx.where((F.col("conv_id") >= f"conv_0000000{i}") & (F.col("conv_id") < f"conv_0000000{i+1}"))
+        for i in range(4, 8)
+    ]
+    sink(batches[0], 0)
+    post_dir = Path(idx) / "postings"
+
+    def files_per_seg():
+        return {
+            p.name: sum(1 for _ in p.glob("*.parquet"))
+            for p in post_dir.glob("seg=*")
+            if p.is_dir()
+        }
+
+    assert max(files_per_seg().values()) >= 2  # appends fragmented some seg
+
+    sink(batches[1], 1)  # 2nd committed epoch → optimize fires
+    st = IndexCatalog(idx, CFG).manifest.data["streams"][str(tmp_path / "ckpt")]
+    assert st["epochs_since_optimize"] == 0
+    assert "optimize" in IndexCatalog(idx, CFG).manifest.data["stages"]
+    assert max(files_per_seg().values()) == 1  # every seg dir merged
+
+    s = Searcher(spark, idx, CFG)
+    before = [(r["doc_id"], r["score"]) for r in s.search("baba0 ceba1", 15, method="wand").collect()]
+    sink(batches[2], 2)
+    sink(batches[3], 3)  # 4th → optimize fires again
+    docs = spark.read.parquet(f"{idx}/docs")
+    assert docs.count() == all_tx.where(F.col("conv_id") < "conv_00000008").count()
+    assert docs.select("doc_id").distinct().count() == docs.count()
+    # earlier docs still score identically after two optimize cycles
+    s2 = Searcher(spark, idx, CFG)
+    after_ids = {r["doc_id"] for r in s2.search("baba0 ceba1", 100, method="wand").collect()}
+    assert {d for d, _ in before} <= after_ids
