@@ -420,6 +420,15 @@ def _batch_segment(
     unconditionally; with a 10⁴-query batch over a Zipfian vocabulary most
     tail-term blocks are never needed by ANY query and now stay packed.
 
+    Once a term IS fully decoded, later queries take a concatenated fast
+    path: one scatter/gather over the term's whole posting array, with no
+    per-block skip checks — each ``acc[lo:hi].max()`` probe costs more
+    than the scatter it could save once the decode is already paid, and a
+    large batch re-pays that probe per query (measured: a 500-query batch
+    over a full-union workload ran ~40% slower on the always-per-block
+    path than on round 2's decode-once path; the fast path restores the
+    decode-once behavior exactly where decode-once was optimal).
+
     Each term's block rows are sorted by ``doc_min`` before use — rows
     arrive through a ``repartition(seg)`` shuffle and, on appended indexes,
     from multiple parquet files whose read order Spark picks by size, so
@@ -443,12 +452,15 @@ def _batch_segment(
         maxw = tg[mcol].to_numpy(dtype=np.float64)
         bufs = list(zip(tg["docs"], tg[wcol], tg["n"].astype(int)))
         cache: list[tuple[np.ndarray, np.ndarray] | None] = [None] * len(bufs)
-        meta[term] = (bmin, bmax, maxw, bufs, cache, float(maxw.max()))
+        # slots: 6 = full concatenated (idx, wts) once every block is
+        # decoded (idx ascending: blocks are doc_min-sorted and
+        # non-overlapping), 7 = decoded-block count
+        meta[term] = [bmin, bmax, maxw, bufs, cache, float(maxw.max()), None, 0]
         blocks_total += len(bufs)
 
     n_decoded = 0
 
-    def block(tm: tuple, j: int) -> tuple[np.ndarray, np.ndarray]:
+    def block(tm: list, j: int) -> tuple[np.ndarray, np.ndarray]:
         nonlocal n_decoded
         cache = tm[4]
         if cache[j] is None:
@@ -456,7 +468,21 @@ def _batch_segment(
             d, w = unpack_block(dbuf, wbuf, int(n))
             cache[j] = (d - base, w)
             n_decoded += 1
+            tm[7] += 1
         return cache[j]
+
+    def full(tm: list) -> tuple[np.ndarray, np.ndarray] | None:
+        """Concatenated (idx, wts) once the whole term is decoded."""
+        if tm[6] is None and tm[7] == len(tm[3]):
+            parts = tm[4]
+            if len(parts) == 1:
+                tm[6] = parts[0]
+            else:
+                tm[6] = (
+                    np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]),
+                )
+        return tm[6]
 
     acc = np.zeros(segment_docs, dtype=np.float64)
     out_q: list[str] = []
@@ -486,20 +512,28 @@ def _batch_segment(
             if theta_set and suffix[i] < theta:
                 cut = i  # remaining terms cannot create new top-k docs
                 break
-            bmin, bmax, maxw = meta[term][0], meta[term][1], meta[term][2]
-            remaining_after = float(suffix[i + 1])
-            scattered: list[np.ndarray] = []
-            for j in range(len(bmin)):
-                if theta_set:
-                    lo, hi = int(bmin[j]), int(bmax[j]) + 1
-                    if acc[lo:hi].max() + qw * maxw[j] + remaining_after < theta:
-                        continue  # block-max skip (exact, see docstring)
-                idx, wts = block(meta[term], j)
-                acc[idx] += qw * wts
-                scattered.append(idx)
-            if not scattered:
-                continue
-            sidx = scattered[0] if len(scattered) == 1 else np.concatenate(scattered)
+            tm = meta[term]
+            fp = full(tm)
+            if fp is not None:
+                # fully-decoded term: one scatter over the whole posting
+                # array, no per-block probes (decode-once fast path)
+                sidx, fwts = fp
+                acc[sidx] += qw * fwts
+            else:
+                bmin, bmax, maxw = tm[0], tm[1], tm[2]
+                remaining_after = float(suffix[i + 1])
+                scattered: list[np.ndarray] = []
+                for j in range(len(bmin)):
+                    if theta_set:
+                        lo, hi = int(bmin[j]), int(bmax[j]) + 1
+                        if acc[lo:hi].max() + qw * maxw[j] + remaining_after < theta:
+                            continue  # block-max skip (exact, see docstring)
+                    idx, wts = block(tm, j)
+                    acc[idx] += qw * wts
+                    scattered.append(idx)
+                if not scattered:
+                    continue
+                sidx = scattered[0] if len(scattered) == 1 else np.concatenate(scattered)
             # cheap θ lower bound: kth largest of the LIVE accs on the
             # postings scattered so far (a subset's kth is ≤ the global
             # kth, so pruning stays safe; dead docs excluded or θ would
@@ -524,13 +558,23 @@ def _batch_segment(
             rem = float(suffix[cut])
             live = live[acc[live] + rem >= theta]
             for _, term, qw in present[cut:]:
-                bmin, bmax = meta[term][0], meta[term][1]
+                tm = meta[term]
+                fp = full(tm)
+                if fp is not None:
+                    # fully-decoded term: gather over the whole sorted array
+                    fidx, fwts = fp
+                    p = np.searchsorted(fidx, live)
+                    ok = p < len(fidx)
+                    ok[ok] = fidx[p[ok]] == live[ok]
+                    acc[live[ok]] += qw * fwts[p[ok]]
+                    continue
+                bmin, bmax = tm[0], tm[1]
                 pos = np.searchsorted(bmin, live, side="right") - 1
                 cov = pos >= 0
                 cov[cov] = live[cov] <= bmax[pos[cov]]
                 for j in np.unique(pos[cov]):
                     cand = live[cov & (pos == j)]
-                    idx, wts = block(meta[term], int(j))
+                    idx, wts = block(tm, int(j))
                     p = np.searchsorted(idx, cand)
                     ok = p < len(idx)
                     ok[ok] = idx[p[ok]] == cand[ok]
