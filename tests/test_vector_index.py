@@ -180,3 +180,47 @@ def test_vector_append_matches_oneshot_and_is_idempotent(spark, tmp_path):
         ra = [(r["doc_id"], round(r["score"], 6)) for r in sa.search(q, 20, method=method).collect()]
         rb = [(r["doc_id"], round(r["score"], 6)) for r in sb.search(q, 20, method=method).collect()]
         assert ra == rb, method
+
+
+def test_vector_index_optimize_preserves_scores(spark, tmp_path):
+    """optimize_postings on a VECTOR-mode index (appended → fragmented)
+    merges runs while keeping SQL and WAND scores byte-identical — the
+    frozen-weight contract holds for caller-supplied weights too."""
+    from pathlib import Path
+
+    from splade_easy_spark.index import append_vector_documents
+    from splade_easy_spark.index.maintenance import optimize_postings
+
+    rng = np.random.default_rng(101)
+
+    def mk(i):
+        n = int(rng.integers(5, 30))
+        ids = sorted(int(x) for x in rng.choice(500, size=n, replace=False))
+        w = [float(x) for x in rng.uniform(0.01, 2.0, size=n).astype(np.float32)]
+        return (f"doc_{i:03d}", None, None, ids, w)
+
+    idx = str(tmp_path / "idx")
+    build_vector_index(spark, spark.createDataFrame([mk(i) for i in range(30)], SCHEMA), idx, CFG)
+    for lo in (30, 50):
+        append_vector_documents(
+            spark, idx, spark.createDataFrame([mk(i) for i in range(lo, lo + 20)], SCHEMA), CFG
+        )
+
+    s = Searcher(spark, idx, CFG)
+    q = vector_query_terms([7, 42, 250, 499], [1.0, 0.5, 2.0, 0.25])
+    before = {
+        m: [(r["doc_id"], r["score"]) for r in s.search(q, 25, method=m).collect()]
+        for m in ("sql", "wand")
+    }
+    out = optimize_postings(spark, idx, CFG)
+    assert out["segs_rewritten"] > 0
+    s2 = Searcher(spark, idx, CFG)
+    after = {
+        m: [(r["doc_id"], r["score"]) for r in s2.search(q, 25, method=m).collect()]
+        for m in ("sql", "wand")
+    }
+    assert after == before
+    post_dir = Path(idx) / "postings"
+    assert max(
+        sum(1 for _ in p.glob("*.parquet")) for p in post_dir.glob("seg=*") if p.is_dir()
+    ) == 1
