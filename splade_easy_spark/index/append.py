@@ -24,6 +24,26 @@ incoming batch is first deduplicated on doc_id within itself, then
 anti-joined against the existing docs table, so a re-delivered foreachBatch
 micro-batch appends nothing instead of double-registering doc_ids (round 1
 assigned fresh doc_ints to re-delivered docs, which then double-scored).
+
+Crash atomicity (the commit-order contract): the **docs write is the
+commit point and happens LAST** — doc_terms, postings and term_stats are
+written first.  The dedupe anti-join keys on docs, so a batch is "in the
+index" exactly when its docs rows are visible.  Round 3 wrote docs FIRST:
+a crash between the docs write and the postings write left the batch's
+ids registered, the re-delivered batch anti-joined to nothing, and those
+documents were silently unsearchable forever (round-3 ADVICE ``medium``).
+With docs-last the failure mode inverts — a crash after the postings
+write but before the docs write leaves *orphan* postings/doc_terms rows
+whose doc_ints are registered nowhere — and a small journal makes that
+window safe: before any write the manifest records the batch's doc_int
+range as ``pending_append``; the next append (or stream restart) finds
+the journal, sees no docs in the range (the docs write is all-or-nothing
+at job granularity — Spark's output committer publishes files only at job
+commit), tombstones the orphan range so the kernels provably never score
+it, and skips the range for future assignments.  The re-delivered batch
+then appends under fresh doc_ints; ``compact`` physically removes the
+orphan rows.  Each crash costs one batch-sized tombstone run — never a
+table scan, never silent loss, never double-scoring.
 The anti-join broadcasts the batch's ids and reads only the ``doc_id``
 column of docs (column-pruned) WITHIN the batch's id range — docs is
 range-major sorted by doc_id, so the pushed ``between`` predicate prunes
@@ -55,6 +75,55 @@ from splade_easy_spark.index.catalog import IndexCatalog, term_bucket_expr
 from splade_easy_spark.index.docids import assign_doc_ints
 
 
+def _commit_docs(cat: IndexCatalog, new_docs: DataFrame) -> None:
+    """The batch's commit point (docs-last ordering, see module docstring).
+    Factored out so crash tests can inject a failure exactly here."""
+    new_docs.write.mode("append").parquet(cat.table_dir("docs"))
+
+
+def _repair_pending(spark: SparkSession, cat: IndexCatalog) -> dict | None:
+    """Heal an interrupted append (module docstring: crash atomicity).
+
+    A ``pending_append`` journal entry with no docs in its doc_int range
+    means the crash hit before the commit point: doc_terms/postings/
+    term_stats rows for the range MAY exist as orphans.  Tombstone the
+    range (the kernels mask tombstoned doc_ints before scoring, the SQL
+    path anti-joins them — orphans can never surface or occupy a top-k
+    slot) and advance ``next_doc_int`` past it so the range is never
+    reassigned.  If docs ARE present the crash hit between the docs write
+    and the manifest save: the batch is fully committed, so just finish
+    the bookkeeping.  Orphan term_stats registrations are benign: the
+    re-delivered batch sees its "new" terms already registered with the
+    identical batch-derived idf (same frozen N, same batch df), so no
+    duplicate term rows are ever written."""
+    man = cat.manifest
+    pend = man.data.get("pending_append")
+    if not pend:
+        return None
+    lo, hi = int(pend["lo"]), int(pend["hi"])
+    committed = (
+        hi > lo
+        and cat.read(spark, "docs")
+        .where(F.col("doc_int").between(lo, hi - 1))
+        .limit(1)
+        .count()
+        > 0
+    )
+    if hi > lo and not committed:
+        orphans = spark.range(lo, hi).select(
+            F.concat(F.lit("__orphan__"), F.col("id").cast("string")).alias("doc_id"),
+            F.col("id").alias("doc_int"),
+        )
+        orphans.write.mode("append").parquet(cat.table_dir("deleted"))
+        # stats() must not subtract these tombstones from the physical doc
+        # count (their doc_ints were never registered) — flag it
+        man.data["orphan_tombstones"] = True
+    man.data["next_doc_int"] = max(int(man.data.get("next_doc_int") or 0), hi)
+    man.data.pop("pending_append", None)
+    man.save()
+    return {"repaired_range": [lo, hi], "docs_were_committed": bool(committed)}
+
+
 def append_documents(
     spark: SparkSession,
     index_dir: str,
@@ -70,6 +139,7 @@ def append_documents(
     cfg = cat.config
     man = cat.manifest
     t0 = time.time()
+    _repair_pending(spark, cat)
     stats = cat.corpus_stats(spark)
     n_docs_frozen, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 1.0)
     next_int = man.data.get("next_doc_int")
@@ -133,7 +203,10 @@ def append_documents(
     n_new = new_docs.count()
     if n_new == 0:
         return {"appended_docs": 0, "new_terms": 0, "elapsed_sec": round(time.time() - t0, 3)}
-    new_docs.write.mode("append").parquet(cat.table_dir("docs"))
+    # journal the batch's doc_int range BEFORE any table write — the crash
+    # repair's unit of work (module docstring: crash atomicity)
+    man.data["pending_append"] = {"lo": int(next_int), "hi": int(next_int) + n_new}
+    man.save()
 
     term_tf = _term_tf(new_docs, cfg)
     tstats = cat.read(spark, "term_stats").select("term", "idf")
@@ -188,11 +261,15 @@ def append_documents(
     n_new_terms = new_terms.count()
     if n_new_terms:
         new_terms.write.mode("append").parquet(cat.table_dir("term_stats"))
+    # COMMIT POINT: docs last — the batch becomes visible to the dedupe
+    # anti-join (and thus "exists") only once every other table is durable
+    _commit_docs(cat, new_docs)
     with_norm.unpersist()
     weighted.unpersist()
     idf_map.unpersist()
     new_docs.unpersist()  # releases the localCheckpoint blocks
 
+    man.data.pop("pending_append", None)
     man.data["next_doc_int"] = int(next_int) + n_new
     appended = man.data.setdefault("appends", [])
     appended.append(

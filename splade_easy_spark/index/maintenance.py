@@ -49,7 +49,49 @@ def _swap_in(cat: IndexCatalog, name: str, keep_old: bool = False) -> None:
         shutil.rmtree(trash)
 
 
+def heal_interrupted_swaps(index_dir: str | Path) -> list[str]:
+    """Repair ``optimize_postings``' per-partition swap window.
+
+    The swap is ``live.rename(<part>__old)`` → ``staged.rename(live)`` →
+    ``rmtree(<part>__old)``; a crash between the two renames leaves the
+    live partition dir missing and ``<part>__old`` in its place, and a
+    crash before the rmtree leaves both.  Either state breaks Hive
+    partition inference for the whole table (``seg=5__old`` is not a
+    LONG, so ``seg`` falls back to string and the kernels' ``int(seg)``
+    raises).  Healing is rename-only and idempotent: restore ``__old``
+    when the live dir is missing (pre-optimize state — optimize is
+    byte-preserving and simply reruns), delete it when the swap already
+    completed.  Returns the partition dirs touched.  Safe to call from
+    read-only contexts: rename failures are swallowed (nothing to heal
+    is the overwhelmingly common case and costs one listdir per table)."""
+    healed: list[str] = []
+    root = Path(index_dir)
+    if not root.exists():
+        return healed
+    for tdir in root.iterdir():
+        if not tdir.is_dir() or tdir.name.endswith(("__rewrite", "__old", "__backup")):
+            continue
+        for old in tdir.glob("*__old"):
+            live = old.with_name(old.name[: -len("__old")])
+            try:
+                if live.exists():
+                    shutil.rmtree(old, ignore_errors=True)
+                else:
+                    old.rename(live)
+                healed.append(str(old))
+            except OSError:
+                pass  # read-only replica: the next maintenance run heals
+    return healed
+
+
 def _gc_rewrite_dirs(cat: IndexCatalog) -> None:
+    # heal interrupted per-partition swaps BEFORE deleting staging: the
+    # staged `<table>__rewrite` dir may hold the only copy of a partition
+    # whose live dir was renamed away mid-swap — restoring `__old` first
+    # makes deleting the staging safe (the round-3 ADVICE `high`: deleting
+    # staging first lost the seg's data and left a `seg=N__old` dir that
+    # broke partition inference for every later query).
+    heal_interrupted_swaps(cat.index_dir)
     for p in cat.index_dir.glob("*__rewrite"):
         shutil.rmtree(p, ignore_errors=True)
     for p in cat.index_dir.glob("*__old"):
@@ -108,6 +150,9 @@ def compact(spark: SparkSession, index_dir: str, config: IndexConfig | None = No
         _swap_in(cat, t)
     shutil.rmtree(cat.table_dir("deleted"), ignore_errors=True)
 
+    # compact physically removed any crash-repair orphan rows with the
+    # tombstones that marked them
+    cat.manifest.data.pop("orphan_tombstones", None)
     cat.manifest.record_stage(
         "compact",
         {t: t for t in ["docs", "doc_terms", "postings"]},
@@ -204,7 +249,20 @@ def stats(spark: SparkSession, index_dir: str) -> dict:
     cat = IndexCatalog(index_dir)
     corpus = cat.corpus_stats(spark)
     deleted = cat.read_deleted(spark)
-    n_deleted = deleted.select("doc_id").distinct().count() if deleted is not None else 0
+    if deleted is None:
+        n_deleted = 0
+    elif cat.manifest.data.get("orphan_tombstones"):
+        # crash-repair tombstones (append.py:_repair_pending) target doc_ints
+        # that were never registered in docs — counting them would understate
+        # num_docs; restrict to tombstones of physically-present docs
+        n_deleted = (
+            deleted.select("doc_int")
+            .distinct()
+            .join(cat.read(spark, "docs").select("doc_int"), "doc_int", "left_semi")
+            .count()
+        )
+    else:
+        n_deleted = deleted.select("doc_id").distinct().count()
     # live count from the physical docs table (parquet footers, no job) —
     # corpus_stats.n_docs is the FROZEN weighting statistic and diverges
     # after compaction/appends (reference analog: num_docs decremented on
@@ -281,29 +339,53 @@ def optimize_postings(
     rewritten_segs = 0
     if frag_segs:
         src = cat.read(spark, "postings").where(F.col("seg").isin(frag_segs))
+        # pre-nwts indexes (built before the cosine stream existed) have no
+        # nwts/max_nweight columns at all — Searcher supports them (SQL
+        # cosine fallback), so optimize must too: merge without the stream
+        # and emit the legacy schema so swapped partitions match the rest
+        # of the table.
+        has_nwts_col = "nwts" in src.columns
+        out_cols = [
+            "seg", "term", "block_id", "n", "doc_min", "doc_max",
+            "max_weight", "docs", "wts",
+        ] + (["max_nweight", "nwts"] if has_nwts_col else [])
+        out_schema = (
+            POSTINGS_SCHEMA
+            if has_nwts_col
+            else POSTINGS_SCHEMA.split(", max_nweight")[0]
+        )
 
         def _merge_groups(pdf: pd.DataFrame):
             """Repack each complete (seg, term) group of block-run rows."""
             for (seg, term), g in pdf.groupby(["seg", "term"], sort=False):
                 g = g.sort_values(["doc_min", "block_id"], kind="stable")
+                nbufs = g["nwts"] if has_nwts_col else [None] * len(g)
                 docs_cat, wts_cat, nwts_cat = [], [], []
-                for dbuf, wbuf, nbuf, n in zip(g["docs"], g["wts"], g["nwts"], g["n"]):
+                for dbuf, wbuf, nbuf, n in zip(g["docs"], g["wts"], nbufs, g["n"]):
                     deltas = varbyte_decode(dbuf, int(n))
                     docs_cat.append(np.cumsum(deltas.astype(np.int64)))
                     wts_cat.append(np.frombuffer(wbuf, dtype=np.float32))
                     if nbuf is not None and len(nbuf):
                         nwts_cat.append(np.frombuffer(nbuf, dtype=np.float32))
+                if 0 < len(nwts_cat) < len(docs_cat):
+                    # some runs carry the cosine stream and some don't —
+                    # merging would silently write empty nwts and corrupt
+                    # cosine-WAND for this term (round-3 ADVICE): refuse.
+                    raise ValueError(
+                        f"optimize_postings: (seg={seg}, term={term!r}) mixes "
+                        f"runs with and without the nwts cosine stream "
+                        f"({len(nwts_cat)}/{len(docs_cat)} runs carry it); "
+                        "the index is corrupt or was appended with an "
+                        "inconsistent pack_cosine setting"
+                    )
                 docs = np.concatenate(docs_cat)
                 wts = np.concatenate(wts_cat).astype(np.float64)
                 nwts = (
                     np.concatenate(nwts_cat).astype(np.float64)
-                    if len(nwts_cat) == len(docs_cat)
+                    if nwts_cat
                     else None
                 )
-                out: dict[str, list] = {k: [] for k in [
-                    "seg", "term", "block_id", "n", "doc_min", "doc_max",
-                    "max_weight", "docs", "wts", "max_nweight", "nwts",
-                ]}
+                out: dict[str, list] = {k: [] for k in out_cols}
                 for b in pack_postings(docs, wts, block_size, nweights=nwts):
                     out["seg"].append(int(seg))
                     out["term"].append(term)
@@ -314,8 +396,9 @@ def optimize_postings(
                     out["max_weight"].append(b["max_weight"])
                     out["docs"].append(b["docs"])
                     out["wts"].append(b["wts"])
-                    out["max_nweight"].append(b.get("max_nweight", 0.0))
-                    out["nwts"].append(b.get("nwts", b""))
+                    if has_nwts_col:
+                        out["max_nweight"].append(b.get("max_nweight", 0.0))
+                        out["nwts"].append(b.get("nwts", b""))
                 yield pd.DataFrame(out)
 
         def merge_runs(batches):
@@ -344,7 +427,7 @@ def optimize_postings(
         (
             src.repartition(F.col("seg"))
             .sortWithinPartitions("seg", "term")
-            .mapInPandas(merge_runs, schema=POSTINGS_SCHEMA)
+            .mapInPandas(merge_runs, schema=out_schema)
             .sortWithinPartitions("term", "block_id")
             .write.partitionBy("seg")
             .parquet(str(staged))

@@ -86,6 +86,13 @@ class Searcher:
         self.spark = spark
         self.cat = IndexCatalog(index_dir, config)
         self.config = self.cat.config
+        # a crash inside optimize_postings' per-partition swap leaves a
+        # `seg=N__old` dir that breaks Hive partition inference for every
+        # query on the table — heal (rename-only, one listdir per table,
+        # no-op in the common case) before opening any table
+        from splade_easy_spark.index.maintenance import heal_interrupted_swaps
+
+        heal_interrupted_swaps(index_dir)
         man_identity = self.cat.manifest.data.get("identity", {})
         ours = self.cat.config.identity()
         if man_identity and man_identity.get("analyzer_hash") != ours["analyzer_hash"]:

@@ -52,9 +52,12 @@ def make_epoch_sink(
     index accretes small files without bound; the periodic partition-
     scoped merge keeps file counts and run counts flat at O(active segs),
     with no external orchestration.  Optimize runs AFTER the epoch is
-    logged (it only rewrites committed data; a crash mid-optimize leaves
-    the live partitions untouched thanks to the staged per-partition
-    swap)."""
+    logged (it only rewrites committed data).  A crash mid-optimize is
+    safe but not invisible: outside the per-partition swap window the
+    live partitions are untouched, and a crash INSIDE the window (between
+    the two renames) is healed — rename-only, restoring the pre-optimize
+    partition — by ``heal_interrupted_swaps``, which runs at the next
+    maintenance call and at every ``Searcher`` open."""
     from splade_easy_spark.index.catalog import IndexCatalog
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:

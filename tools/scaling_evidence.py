@@ -130,13 +130,13 @@ def main() -> None:
         "|---|---|---|---|---|",
         f"| build turns/sec (median) | {tput_l} | {tput_h} | {round(tput_h/tput_l,2)}× | **{eff_build}** |",
         f"| query batch s (median) | {q_l} | {q_h} | {round(q_l/q_h,2)}× | **{eff_query}** |",
+        f"| single query (s) | {bl['queries']['search_single']} | {bh['queries']['search_single']} | — | — |",
+        f"| WAND query (s) | {bl['queries']['search_wand']} | {bh['queries']['search_wand']} | — | — |",
         "",
         f"Per-trial build efficiency: {eff_build_trials}; "
         f"per-trial query-batch efficiency: {eff_query_trials}.",
         f"Per-trial build turns/sec: N={tput_l_all} 4N={tput_h_all}; "
         f"query-batch s: N={q_l_all} 4N={q_h_all}.",
-        f"| single query (s) | {bl['queries']['search_single']} | {bh['queries']['search_single']} | — | — |",
-        f"| WAND query (s) | {bl['queries']['search_wand']} | {bh['queries']['search_wand']} | — | — |",
         "",
         "## Why local[2] vs local[8] (and not 8 vs 32)",
         "",
