@@ -83,6 +83,10 @@ class IndexConfig:
     #: disable when only BM25/dot ranking is needed (cosine then remains
     #: available via the SQL path, which uses the denormalized ``norm``).
     pack_cosine: bool = True
+    #: perturbation seed for the 60-bit postings term ids (see
+    #: ``catalog.term_id_py``); only ever changed if a build reports a
+    #: term-id collision, which rehashing with a new seed resolves.
+    term_id_seed: int = 0
 
     def identity(self) -> dict:
         return {

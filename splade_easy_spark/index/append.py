@@ -241,25 +241,72 @@ def append_documents(
     ).write.mode("append").partitionBy("tb").parquet(cat.table_dir("doc_terms"))
 
     # pack postings straight from the in-flight frame (round 1 re-read the
-    # whole doc_terms table here — O(index) per batch)
+    # whole doc_terms table here — O(index) per batch).  The pack follows
+    # the INDEX's recorded layout, not the caller's config: appending
+    # term_id-keyed blocks into a legacy string-keyed table (or vice versa)
+    # would split every posting list across two incompatible schemas.
+    layout = cat.manifest.data.get("layout", {})
+    term_ids = bool(layout.get("postings_term_ids"))
+    id_seed = int(layout.get("term_id_seed", cfg.term_id_seed))
     packed = pack_doc_terms(
         with_norm.select("term", "doc_int", "weight", "norm"),
         cfg.segment_docs,
         cfg.block_size,
-        pack_cosine=cat.manifest.data.get("layout", {}).get("pack_cosine", cfg.pack_cosine),
+        pack_cosine=layout.get("pack_cosine", cfg.pack_cosine),
+        term_ids=term_ids,
+        term_id_seed=id_seed,
     )
     packed.write.mode("append").partitionBy("seg").parquet(cat.table_dir("postings"))
 
     # register batch-new terms so query-time idf exists for them
-    new_terms = idf_map.where(F.col("is_new_term")).select(
-        "term",
+    from splade_easy_spark.index.catalog import term_id_expr
+
+    new_cols = [
+        F.col("term"),
         F.col("batch_df").alias("df"),
         F.lit(None).cast("int").alias("max_tf"),
-        "idf",
+        F.col("idf"),
         term_bucket_expr(F.col("term"), cfg.term_buckets).alias("tb"),
-    )
+    ]
+    if term_ids:
+        new_cols.append(term_id_expr(F.col("term"), id_seed).alias("term_id"))
+    new_terms = idf_map.where(F.col("is_new_term")).select(*new_cols)
     n_new_terms = new_terms.count()
     if n_new_terms:
+        if term_ids:
+            # uniqueness gate for batch-new vocabulary (the append-time
+            # analog of the build's _assert_no_term_id_collisions): one
+            # column-pruned O(vocab) scan, paid ONLY by batches that
+            # introduce terms — steady-state appends skip it.  A raise
+            # here is crash-safe: the pending_append journal tombstones
+            # the batch's already-written postings on the next attempt.
+            dup_in_batch = (
+                new_terms.groupBy("term_id")
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            clash = (
+                cat.read(spark, "term_stats")
+                .select("term_id", "term")
+                .join(
+                    F.broadcast(
+                        new_terms.select("term_id", F.col("term").alias("new_term"))
+                    ),
+                    "term_id",
+                )
+                .where(F.col("term") != F.col("new_term"))
+                .limit(3)
+                .collect()
+            )
+            if dup_in_batch or clash:
+                pairs = [(r["term"], r["new_term"]) for r in clash]
+                raise ValueError(
+                    f"term_id collision on append (seed={id_seed}): "
+                    f"{pairs or 'within batch-new terms'}; rebuild with a "
+                    f"different IndexConfig.term_id_seed"
+                )
         new_terms.write.mode("append").parquet(cat.table_dir("term_stats"))
     # COMMIT POINT: docs last — the batch becomes visible to the dedupe
     # anti-join (and thus "exists") only once every other table is durable
@@ -295,5 +342,11 @@ def refresh_stats(spark: SparkSession, index_dir: str, config: IndexConfig | Non
     for t in ["doc_terms", "postings", "doc_norms"]:
         shutil.rmtree(cat.table_dir(t), ignore_errors=True)
     m2 = _stage_postings(spark, cat)
+    # the rewritten postings use the current layout (term_id keys) even if
+    # the index predated it — record that, or later appends would pack
+    # legacy string-keyed blocks into a term_id-keyed table
+    lay = cat.manifest.data.setdefault("layout", {})
+    lay["postings_term_ids"] = True
+    lay["term_id_seed"] = cat.config.term_id_seed
     cat.manifest.record_stage("postings", {t: t for t in _STAGE_TABLES["postings"]}, m2)
     return {"elapsed_sec": round(time.time() - t0, 3), **m1}

@@ -45,11 +45,22 @@ from splade_easy_spark.index.catalog import IndexCatalog, term_bucket_expr
 from splade_easy_spark.index.docids import assign_doc_ints
 from splade_easy_spark.index.postings import pack_postings
 
+#: packed postings block schema.  The term key is a 60-bit content hash
+#: (``catalog.term_id_py``) rather than the term string: a block row is a
+#: ~block_size-posting run, and carrying the string per row cost parquet
+#: dictionary pages, seg-exchange bytes, Arrow-hop bytes and a Python
+#: object per row in every pandas groupby along the query path.  The
+#: reference's wire format stores uint32 token ids for the same reason
+#: (``src/splade_easy/schema.fbs:14``).  doc_terms (the SQL path's table)
+#: keeps real term strings — the id is internal to the WAND layout.
 POSTINGS_SCHEMA = (
-    "seg LONG, term STRING, block_id INT, n INT, doc_min LONG, "
+    "seg LONG, term_id LONG, block_id INT, n INT, doc_min LONG, "
     "doc_max LONG, max_weight DOUBLE, docs BINARY, wts BINARY, "
     "max_nweight DOUBLE, nwts BINARY"
 )
+#: pre-round-4 layout (term string per block row) — still packable so
+#: appends to an existing legacy index keep its schema consistent.
+POSTINGS_SCHEMA_LEGACY = POSTINGS_SCHEMA.replace("term_id LONG", "term STRING")
 
 
 @dataclass
@@ -143,8 +154,15 @@ def _stage_stats(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = None
     tstats = term_tf.groupBy("term").agg(
         F.count("*").alias("df"), F.max("tf").alias("max_tf")
     )
-    tstats = tstats.withColumn("idf", idf_expr(F.col("df"), n_docs)).withColumn(
-        "tb", term_bucket_expr(F.col("term"), cfg.term_buckets)
+    from splade_easy_spark.index.catalog import term_id_expr
+
+    tstats = (
+        tstats.withColumn("idf", idf_expr(F.col("df"), n_docs))
+        .withColumn("tb", term_bucket_expr(F.col("term"), cfg.term_buckets))
+        # the packed postings' 60-bit key (catalog.term_id_py); carried in
+        # term_stats so the collision gate below and append-time checks can
+        # verify id uniqueness without recomputing the vocabulary
+        .withColumn("term_id", term_id_expr(F.col("term"), cfg.term_id_seed))
     )
     # hot-term df threshold (Zipfian head detection for the salted postings
     # exchange) observed on the SAME write job — replaces round 1's separate
@@ -158,6 +176,7 @@ def _stage_stats(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = None
     )
     cat.write(tstats, "term_stats")
     hot_thr = float(obs.get["thr"] or 1.0)
+    _assert_no_term_id_collisions(cat.read(spark, "term_stats"), cfg.term_id_seed)
     n_terms = cat.table_rows("term_stats")  # footers, no job
     stats_df = spark.createDataFrame(
         [(n_docs, avgdl, total_tokens, n_terms)],
@@ -170,6 +189,33 @@ def _stage_stats(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = None
         "n_terms": n_terms,
         "hot_df_threshold": hot_thr,
     }
+
+
+def _assert_no_term_id_collisions(tstats: DataFrame, seed: int) -> None:
+    """Exact uniqueness gate for the 60-bit postings term ids: a collision
+    would merge two terms' posting lists under one key and silently
+    mis-score both, so the engine refuses to exist in that state.  Cost is
+    one vocabulary-sized aggregation (O(n_terms), never O(corpus)) per
+    build/refresh; probability of ever firing is ~n²/2^61 (≈1e-5 at 5M
+    terms).  The remedy — a different ``term_id_seed`` — rehashes every id.
+    """
+    dup = (
+        tstats.groupBy("term_id")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        ids = [int(r["term_id"]) for r in dup]
+        terms = [
+            r["term"]
+            for r in tstats.where(F.col("term_id").isin(ids)).select("term").collect()
+        ]
+        raise ValueError(
+            f"term_id collision (seed={seed}) between terms {terms!r}: "
+            f"rebuild with a different IndexConfig.term_id_seed"
+        )
 
 
 def attach_doc_norm(weighted: DataFrame) -> DataFrame:
@@ -235,18 +281,17 @@ def attach_doc_norm(weighted: DataFrame) -> DataFrame:
     return weighted.mapInArrow(kernel, schema=schema)
 
 
-_POSTINGS_PA_SCHEMA = None
+_POSTINGS_PA_SCHEMAS: dict[bool, "object"] = {}
 
 
-def _postings_pa_schema():
-    global _POSTINGS_PA_SCHEMA
-    if _POSTINGS_PA_SCHEMA is None:
+def _postings_pa_schema(term_ids: bool = True):
+    if term_ids not in _POSTINGS_PA_SCHEMAS:
         import pyarrow as pa
 
-        _POSTINGS_PA_SCHEMA = pa.schema(
+        _POSTINGS_PA_SCHEMAS[term_ids] = pa.schema(
             [
                 ("seg", pa.int64()),
-                ("term", pa.string()),
+                ("term_id", pa.int64()) if term_ids else ("term", pa.string()),
                 ("block_id", pa.int32()),
                 ("n", pa.int32()),
                 ("doc_min", pa.int64()),
@@ -258,7 +303,7 @@ def _postings_pa_schema():
                 ("nwts", pa.binary()),
             ]
         )
-    return _POSTINGS_PA_SCHEMA
+    return _POSTINGS_PA_SCHEMAS[term_ids]
 
 
 def _group_starts(rb) -> "object":
@@ -272,7 +317,10 @@ def _group_starts(rb) -> "object":
     return np.flatnonzero(valid[1:]) + 1
 
 
-def _pack_batch(rb, block_size: int, segment_docs: int, pack_cosine: bool):
+def _pack_batch(
+    rb, block_size: int, segment_docs: int, pack_cosine: bool,
+    term_ids: bool = True, term_id_seed: int = 0,
+):
     """Pack an Arrow batch of (term_first, doc_int, weight[, nweight]) rows
     SORTED by (seg, term, doc_int) into block records.  The batch carries
     neither a ``seg`` column (derived in-kernel from ``doc_int``) nor a
@@ -280,7 +328,9 @@ def _pack_batch(rb, block_size: int, segment_docs: int, pack_cosine: bool):
     first row and is null elsewhere, so the posting-grain Arrow hop ships
     ~4 bytes/row of string offsets instead of a full string per posting —
     the hop's bytes were the measured cap on build scaling (round 2).
-    Term strings materialize once per GROUP (``.as_py()``), never per row.
+    Term strings materialize once per GROUP (``.as_py()``), never per row;
+    with ``term_ids`` the emitted key is the 60-bit content hash
+    (``catalog.term_id_py``), likewise computed once per group.
     With ``pack_cosine``, ``nweight`` = weight/‖doc‖ rides along so cosine
     scoring is the same dot-product kernel over the normalized stream (its
     block max is the cosine block-max bound); otherwise the nwts columns
@@ -288,6 +338,9 @@ def _pack_batch(rb, block_size: int, segment_docs: int, pack_cosine: bool):
     import numpy as np
     import pyarrow as pa
 
+    from splade_easy_spark.index.catalog import term_id_py
+
+    tkey = "term_id" if term_ids else "term"
     term_col = rb.column("term_first")
     doc = rb.column("doc_int").to_numpy(zero_copy_only=False)
     wt = rb.column("weight").to_numpy(zero_copy_only=False)
@@ -296,18 +349,20 @@ def _pack_batch(rb, block_size: int, segment_docs: int, pack_cosine: bool):
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [rb.num_rows]))
     out: dict[str, list] = {k: [] for k in [
-        "seg", "term", "block_id", "n", "doc_min", "doc_max", "max_weight",
+        "seg", tkey, "block_id", "n", "doc_min", "doc_max", "max_weight",
         "docs", "wts", "max_nweight", "nwts",
     ]}
     for s, e in zip(starts, ends):
         tval = term_col[s].as_py()
+        if term_ids:
+            tval = term_id_py(tval, term_id_seed)
         seg_val = int(doc[s]) // segment_docs
         for b in pack_postings(
             doc[s:e], wt[s:e], block_size,
             nweights=nwt[s:e] if nwt is not None else None,
         ):
             out["seg"].append(seg_val)
-            out["term"].append(tval)
+            out[tkey].append(tval)
             out["block_id"].append(b["block_id"])
             out["n"].append(b["n"])
             out["doc_min"].append(b["doc_min"])
@@ -317,11 +372,16 @@ def _pack_batch(rb, block_size: int, segment_docs: int, pack_cosine: bool):
             out["wts"].append(b["wts"])
             out["max_nweight"].append(b.get("max_nweight", 0.0))
             out["nwts"].append(b.get("nwts", b""))
-    return pa.RecordBatch.from_pydict(out, schema=_postings_pa_schema())
+    return pa.RecordBatch.from_pydict(out, schema=_postings_pa_schema(term_ids))
 
 
 def pack_doc_terms(
-    dt: DataFrame, segment_docs: int, block_size: int, pack_cosine: bool = True
+    dt: DataFrame,
+    segment_docs: int,
+    block_size: int,
+    pack_cosine: bool = True,
+    term_ids: bool = True,
+    term_id_seed: int = 0,
 ) -> DataFrame:
     """doc_terms → packed posting blocks via a STREAMING ``mapInArrow``
     packer: rows are seg-colocated and (seg, term, doc_int)-sorted by the
@@ -392,11 +452,17 @@ def pack_doc_terms(
                 continue
             last_start = int(idx[-1])
             complete, carry = rb.slice(0, last_start), rb.slice(last_start)
-            yield _pack_batch(complete, block_size, segment_docs, pack_cosine)
+            yield _pack_batch(
+                complete, block_size, segment_docs, pack_cosine, term_ids, term_id_seed
+            )
         if carry is not None and carry.num_rows:
-            yield _pack_batch(carry, block_size, segment_docs, pack_cosine)
+            yield _pack_batch(
+                carry, block_size, segment_docs, pack_cosine, term_ids, term_id_seed
+            )
 
-    return slim.mapInArrow(packer, schema=POSTINGS_SCHEMA)
+    return slim.mapInArrow(
+        packer, schema=POSTINGS_SCHEMA if term_ids else POSTINGS_SCHEMA_LEGACY
+    )
 
 
 def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = None) -> dict:
@@ -519,7 +585,8 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = N
         cfg.segment_docs,
         cfg.block_size,
         pack_cosine=cfg.pack_cosine,
-    ).sortWithinPartitions("term", "block_id")
+        term_id_seed=cfg.term_id_seed,
+    ).sortWithinPartitions("term_id", "block_id")
     cat.write(packed, "postings", partition_by=["seg"])
     with_norm.unpersist()
     weighted.unpersist()
@@ -589,6 +656,8 @@ def build_index(
         "term_buckets": cat.config.term_buckets,
         "build_partitions": cat.config.build_partitions,
         "pack_cosine": cat.config.pack_cosine,
+        "postings_term_ids": True,
+        "term_id_seed": cat.config.term_id_seed,
     }
     stats = cat.corpus_stats(spark)
     # appends continue after the densely-assigned build ids (0..n_docs-1);

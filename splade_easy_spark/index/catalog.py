@@ -10,10 +10,12 @@ touching the build or query code (SURVEY.md §1.4).  Table names are fixed:
                    (SQL path; norm = L2 of the doc's weight vector,
                    denormalized in so cosine scoring needs no join)
 - ``postings``     packed blocks, hive-partitioned by doc segment:
-                   seg, term, block_id, n, doc_min, doc_max, max_weight,
+                   seg, term_id (60-bit content hash, see ``term_id_py``),
+                   block_id, n, doc_min, doc_max, max_weight,
                    docs BINARY (varbyte deltas), wts BINARY (float32 LE)
-                   (WAND path)
-- ``term_stats``   term, df, max_tf, idf, tb
+                   (WAND path; pre-round-4 indexes carry ``term`` STRING
+                   instead — readers detect the layout from the columns)
+- ``term_stats``   term, df, max_tf, idf, tb, term_id
 - ``corpus_stats`` single row: n_docs, avgdl, total_tokens, n_terms
 - ``deleted``      doc_id, doc_int (tombstones; analog of deleted_ids.txt,
                    ``src/splade_easy/index.py:80-89``)
@@ -21,6 +23,7 @@ touching the build or query code (SURVEY.md §1.4).  Table names are fixed:
 
 from __future__ import annotations
 
+from hashlib import md5 as hashlib_md5
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +39,44 @@ def term_bucket_expr(term_col, buckets: int):
     """Partition-pruning bucket for a term.  ``crc32`` (not ``hash``) so the
     DuckDB oracle and any non-Spark reader can reproduce it."""
     return F.pmod(F.crc32(term_col.cast("string")), F.lit(buckets)).cast("int")
+
+
+#: postings-schema term_id reserved for packed tombstone rows (real ids are
+#: non-negative 60-bit hashes, so a negative value cannot collide)
+TOMB_TERM_ID = -1
+
+
+def term_id_py(term: str, seed: int = 0) -> int:
+    """60-bit content hash identifying a term in the packed postings table.
+
+    The reference stores uint32 *model token ids* in its wire format
+    (``src/splade_easy/schema.fbs:14``); this engine has no model vocabulary
+    to index into, so the id is a hash of the term string: the first 15 hex
+    digits of md5 (60 bits, always < 2^63 so it fits a Spark LONG).
+
+    A content hash — not a dense dictionary id — because it needs NO
+    coordination anywhere: the query side computes ids driver-side with
+    hashlib (no term_stats lookup job before every search), appended
+    batches compute ids for never-seen terms without a next_id counter in
+    the manifest, and two executors packing the same term always agree.
+    The price is collision risk, ~n²/2^61 for n distinct terms (≈1e-5 at
+    5M terms): the build detects collisions exactly (vocabulary-sized agg,
+    ``builder._stage_stats``) and raises with the remedy — rebuild with a
+    different ``term_id_seed``, which perturbs every id.
+    """
+    s = term if seed == 0 else f"{seed}:{term}"
+    return int(hashlib_md5(s.encode()).hexdigest()[:15], 16)
+
+
+def term_id_expr(term_col, seed: int = 0):
+    """JVM-side ``term_id_py`` (same md5-prefix value, codegen'd — used by
+    the build pipeline and by the legacy-layout read path's projection)."""
+    src = (
+        term_col.cast("string")
+        if seed == 0
+        else F.concat(F.lit(f"{seed}:"), term_col.cast("string"))
+    )
+    return F.conv(F.substring(F.md5(src), 1, 15), 16, 10).cast("long")
 
 
 class IndexCatalog:

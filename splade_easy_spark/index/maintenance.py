@@ -98,6 +98,23 @@ def _gc_rewrite_dirs(cat: IndexCatalog) -> None:
         shutil.rmtree(p, ignore_errors=True)
 
 
+def _pack_layout(cat: IndexCatalog) -> tuple[dict, str]:
+    """(pack_doc_terms kwargs, postings term-key column) from the index's
+    recorded layout — maintenance rewrites must reproduce the layout the
+    index was built with (term_id vs legacy string keys, cosine stream
+    present or not), never the caller's config defaults."""
+    lay = cat.manifest.data.get("layout", {})
+    term_ids = bool(lay.get("postings_term_ids"))
+    return (
+        {
+            "pack_cosine": lay.get("pack_cosine", cat.config.pack_cosine),
+            "term_ids": term_ids,
+            "term_id_seed": int(lay.get("term_id_seed", cat.config.term_id_seed)),
+        },
+        "term_id" if term_ids else "term",
+    )
+
+
 def delete(spark: SparkSession, index_dir: str, doc_ids: list[str]) -> int:
     """Soft delete: tombstone rows (doc_id, doc_int) appended to the
     ``deleted`` table; read paths anti-join against it.  Returns the number
@@ -141,9 +158,10 @@ def compact(spark: SparkSession, index_dir: str, config: IndexConfig | None = No
     )
 
     dt_new = spark.read.parquet(cat.table_dir("doc_terms") + "__rewrite")
-    packed = pack_doc_terms(dt_new, cfg.segment_docs, cfg.block_size).sortWithinPartitions(
-        "term", "block_id"
-    )
+    pack_kw, tkey = _pack_layout(cat)
+    packed = pack_doc_terms(
+        dt_new, cfg.segment_docs, cfg.block_size, **pack_kw
+    ).sortWithinPartitions(tkey, "block_id")
     packed.write.partitionBy("seg").parquet(cat.table_dir("postings") + "__rewrite")
 
     for t in ["docs", "doc_terms", "postings"]:
@@ -192,7 +210,10 @@ def reshard(
         cat.table_dir("doc_terms") + "__rewrite"
     )
     dt_new = spark.read.parquet(cat.table_dir("doc_terms") + "__rewrite")
-    packed = pack_doc_terms(dt_new, seg_docs, bs).sortWithinPartitions("term", "block_id")
+    pack_kw, tkey = _pack_layout(cat)
+    packed = pack_doc_terms(dt_new, seg_docs, bs, **pack_kw).sortWithinPartitions(
+        tkey, "block_id"
+    )
     packed.write.partitionBy("seg").parquet(cat.table_dir("postings") + "__rewrite")
     man = cat.manifest
     prior_layout = dict(man.data.get("layout", {}))
@@ -345,19 +366,25 @@ def optimize_postings(
         # and emit the legacy schema so swapped partitions match the rest
         # of the table.
         has_nwts_col = "nwts" in src.columns
+        # the table's term key: int64 term_id (round-4 layout) or the
+        # legacy term string — merge whichever the index carries
+        tkey = "term_id" if "term_id" in src.columns else "term"
+        from splade_easy_spark.index.builder import POSTINGS_SCHEMA_LEGACY
+
+        base_schema = POSTINGS_SCHEMA if tkey == "term_id" else POSTINGS_SCHEMA_LEGACY
         out_cols = [
-            "seg", "term", "block_id", "n", "doc_min", "doc_max",
+            "seg", tkey, "block_id", "n", "doc_min", "doc_max",
             "max_weight", "docs", "wts",
         ] + (["max_nweight", "nwts"] if has_nwts_col else [])
         out_schema = (
-            POSTINGS_SCHEMA
+            base_schema
             if has_nwts_col
-            else POSTINGS_SCHEMA.split(", max_nweight")[0]
+            else base_schema.split(", max_nweight")[0]
         )
 
         def _merge_groups(pdf: pd.DataFrame):
             """Repack each complete (seg, term) group of block-run rows."""
-            for (seg, term), g in pdf.groupby(["seg", "term"], sort=False):
+            for (seg, term), g in pdf.groupby(["seg", tkey], sort=False):
                 g = g.sort_values(["doc_min", "block_id"], kind="stable")
                 nbufs = g["nwts"] if has_nwts_col else [None] * len(g)
                 docs_cat, wts_cat, nwts_cat = [], [], []
@@ -388,7 +415,7 @@ def optimize_postings(
                 out: dict[str, list] = {k: [] for k in out_cols}
                 for b in pack_postings(docs, wts, block_size, nweights=nwts):
                     out["seg"].append(int(seg))
-                    out["term"].append(term)
+                    out[tkey].append(term)
                     out["block_id"].append(b["block_id"])
                     out["n"].append(b["n"])
                     out["doc_min"].append(b["doc_min"])
@@ -415,8 +442,8 @@ def optimize_postings(
                 # rows arrive sorted by (seg, term): the last (seg, term)
                 # pair may continue in the next batch — hold it back
                 last_seg = b["seg"].iloc[-1]
-                last_term = b["term"].iloc[-1]
-                tail = (b["seg"] == last_seg) & (b["term"] == last_term)
+                last_term = b[tkey].iloc[-1]
+                tail = (b["seg"] == last_seg) & (b[tkey] == last_term)
                 complete, carry = b[~tail], b[tail]
                 if len(complete):
                     yield from _merge_groups(complete)
@@ -426,9 +453,9 @@ def optimize_postings(
         staged = post_dir.with_name(post_dir.name + "__rewrite")
         (
             src.repartition(F.col("seg"))
-            .sortWithinPartitions("seg", "term")
+            .sortWithinPartitions("seg", tkey)
             .mapInPandas(merge_runs, schema=out_schema)
-            .sortWithinPartitions("term", "block_id")
+            .sortWithinPartitions(tkey, "block_id")
             .write.partitionBy("seg")
             .parquet(str(staged))
         )

@@ -84,10 +84,17 @@ def build_vector_index(
     doc_terms_raw = docs_v.groupBy("doc_int", "term").agg(F.max("weight").alias("weight"))
     doc_terms_raw = doc_terms_raw.persist(StorageLevel.MEMORY_AND_DISK)
 
-    tstats = doc_terms_raw.groupBy("term").agg(
-        F.count("*").alias("df"), F.max("weight").alias("max_weight")
-    ).withColumn("tb", term_bucket_expr(F.col("term"), cfg.term_buckets))
+    from splade_easy_spark.index.builder import _assert_no_term_id_collisions
+    from splade_easy_spark.index.catalog import term_id_expr
+
+    tstats = (
+        doc_terms_raw.groupBy("term")
+        .agg(F.count("*").alias("df"), F.max("weight").alias("max_weight"))
+        .withColumn("tb", term_bucket_expr(F.col("term"), cfg.term_buckets))
+        .withColumn("term_id", term_id_expr(F.col("term"), cfg.term_id_seed))
+    )
     cat.write(tstats, "term_stats")
+    _assert_no_term_id_collisions(cat.read(spark, "term_stats"), cfg.term_id_seed)
     agg = docs.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"), F.sum("doc_len").alias("t")).collect()[0]
     stats_df = spark.createDataFrame(
         [(int(agg["n"]), float(agg["avgdl"] or 0.0), int(agg["t"] or 0), cat.table_rows("term_stats"))],
@@ -118,7 +125,8 @@ def build_vector_index(
         cfg.segment_docs,
         cfg.block_size,
         pack_cosine=cfg.pack_cosine,
-    ).sortWithinPartitions("term", "block_id")
+        term_id_seed=cfg.term_id_seed,
+    ).sortWithinPartitions("term_id", "block_id")
     cat.write(packed, "postings", partition_by=["seg"])
     doc_terms_raw.unpersist()
     man.record_stage(
@@ -132,6 +140,8 @@ def build_vector_index(
         "term_buckets": cfg.term_buckets,
         "build_partitions": cfg.build_partitions,
         "pack_cosine": cfg.pack_cosine,
+        "postings_term_ids": True,
+        "term_id_seed": cfg.term_id_seed,
     }
     man.data["next_doc_int"] = int(agg["n"])
     man.save()
@@ -168,6 +178,11 @@ def append_vector_documents(
     t0 = time.time()
     if man.data.get("identity", {}).get("mode") != "vector":
         raise ValueError("append_vector_documents requires a vector-mode index")
+    # heal a previous crashed append (same docs-last protocol as the text
+    # appender — see index/append.py module docstring, crash atomicity)
+    from splade_easy_spark.index.append import _repair_pending
+
+    _repair_pending(spark, cat)
     next_int = man.data.get("next_doc_int")
     if next_int is None:
         next_int = (
@@ -204,7 +219,10 @@ def append_vector_documents(
     n_new = new_docs.count()
     if n_new == 0:
         return {"appended_docs": 0, "elapsed_sec": round(time.time() - t0, 3)}
-    new_docs.drop("token_ids", "weights").write.mode("append").parquet(cat.table_dir("docs"))
+    # journal the range, then write docs LAST (the commit point) — same
+    # crash-atomicity protocol as the text appender
+    man.data["pending_append"] = {"lo": int(next_int), "hi": int(next_int) + n_new}
+    man.save()
 
     docs_v = new_docs.select(
         "doc_int", F.explode(F.arrays_zip("token_ids", "weights")).alias("e")
@@ -226,27 +244,66 @@ def append_vector_documents(
     doc_terms.repartition(min(cfg.build_partitions, 8), "tb").sortWithinPartitions(
         "term", "doc_int"
     ).write.mode("append").partitionBy("tb").parquet(cat.table_dir("doc_terms"))
+    layout = man.data.get("layout", {})
+    term_ids = bool(layout.get("postings_term_ids"))
+    id_seed = int(layout.get("term_id_seed", cfg.term_id_seed))
     packed = pack_doc_terms(
         doc_terms.select("term", "doc_int", "weight", "norm"),
         cfg.segment_docs,
         cfg.block_size,
-        pack_cosine=man.data.get("layout", {}).get("pack_cosine", cfg.pack_cosine),
+        pack_cosine=layout.get("pack_cosine", cfg.pack_cosine),
+        term_ids=term_ids,
+        term_id_seed=id_seed,
     )
     packed.write.mode("append").partitionBy("seg").parquet(cat.table_dir("postings"))
 
     # register batch-new terms (df/max_weight at batch grain)
+    from splade_easy_spark.index.catalog import term_id_expr
+
     tstats_new = (
         doc_terms_raw.groupBy("term")
         .agg(F.count("*").alias("df"), F.max("weight").alias("max_weight"))
         .join(cat.read(spark, "term_stats").select("term"), "term", "left_anti")
         .withColumn("tb", term_bucket_expr(F.col("term"), cfg.term_buckets))
     )
+    if term_ids:
+        tstats_new = tstats_new.withColumn(
+            "term_id", term_id_expr(F.col("term"), id_seed)
+        )
     n_new_terms = tstats_new.count()
     if n_new_terms:
+        if term_ids:
+            # batch-new-vocabulary uniqueness gate (see index/append.py) —
+            # a raise here is crash-safe via the pending journal
+            clash = (
+                cat.read(spark, "term_stats")
+                .select("term_id", "term")
+                .join(
+                    F.broadcast(
+                        tstats_new.select("term_id", F.col("term").alias("new_term"))
+                    ),
+                    "term_id",
+                )
+                .where(F.col("term") != F.col("new_term"))
+                .limit(3)
+                .collect()
+            )
+            if clash:
+                pairs = [(r["term"], r["new_term"]) for r in clash]
+                raise ValueError(
+                    f"term_id collision on append (seed={id_seed}): {pairs}; "
+                    f"rebuild with a different IndexConfig.term_id_seed"
+                )
         tstats_new.write.mode("append").parquet(cat.table_dir("term_stats"))
+    # COMMIT POINT: docs last (crash before this line → the pending journal
+    # tombstones the orphan range on the next append)
+    new_docs.drop("token_ids", "weights").write.mode("append").parquet(
+        cat.table_dir("docs")
+    )
     doc_terms_raw.unpersist()
     new_docs.unpersist()
 
+    man.data.pop("pending_append", None)
     man.data["next_doc_int"] = int(next_int) + n_new
     man.data.setdefault("appends", []).append(
         {"docs": n_new, "new_terms": n_new_terms, "at": time.time(),

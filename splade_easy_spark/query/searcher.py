@@ -103,6 +103,14 @@ class Searcher:
         self.stats = self.cat.corpus_stats(spark)
         self.doc_terms = self.cat.read(spark, "doc_terms")
         self.docs = self.cat.read(spark, "docs")
+        # seed of the postings term_id hash (catalog.term_id_py) — recorded
+        # at build; legacy pre-term_id indexes never recorded one, and the
+        # WAND path detects their layout from the postings columns
+        self.term_id_seed = int(
+            self.cat.manifest.data.get("layout", {}).get(
+                "term_id_seed", self.config.term_id_seed
+            )
+        )
         self.mode = mode
         if mode == "memory":
             self.doc_terms = self.doc_terms.persist()
@@ -217,7 +225,8 @@ class Searcher:
             # seg exchange into the kernel (never a driver collect), which
             # masks them BEFORE the pruning threshold is computed
             scores = wand_search_scores(
-                self.spark, postings, terms, seg_docs, top_k, deleted, use_cosine
+                self.spark, postings, terms, seg_docs, top_k, deleted, use_cosine,
+                term_id_seed=self.term_id_seed,
             )
             if use_cosine:
                 # kernel scores are Σ qw·(w/‖d‖); divide the monotone
@@ -288,6 +297,7 @@ class Searcher:
                 top_k,
                 deleted0,
                 use_cosine,
+                term_id_seed=self.term_id_seed,
             )
             if use_cosine:
                 qnorms = [

@@ -34,7 +34,7 @@ hybrid, exact by construction:
   partial scores.
 
 Tombstones never pass through the driver: the ``deleted`` table is packed
-into varbyte tombstone rows (term = ``TOMB_TERM``) that ride the same
+into varbyte tombstone rows (``term_id = TOMB_TERM_ID``) that ride the same
 seg-colocation exchange as the postings, and the kernel masks dead docs
 *before* θ / candidate computation, so deletes can never inflate the
 pruning threshold (they are invisible to it) and results equal a
@@ -62,17 +62,37 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from splade_easy_spark.index.catalog import TOMB_TERM_ID, term_id_expr, term_id_py
 from splade_easy_spark.index.postings import unpack_block, varbyte_encode
 
-#: term-column marker for packed tombstone rows; real terms match the
-#: analyzer's token pattern ([a-z0-9]+ by default) so "\x00" cannot collide.
-TOMB_TERM = "\x00tomb"
-
-_POSTINGS_SCHEMA = (
-    "seg LONG, term STRING, block_id INT, n INT, doc_min LONG, "
+#: schema of the pruned frame entering the kernels (and of the packed
+#: tombstone rows unioned into it).  The term key is the 60-bit content
+#: hash (``catalog.term_id_py``) — the postings table stores it natively
+#: (round-4 layout) and the legacy string layout projects it JVM-side
+#: after its term filter, so the seg exchange, the Arrow hop and the
+#: kernel groupby always run over an int64, never a string column.
+_PRUNED_SCHEMA = (
+    "seg LONG, term_id LONG, block_id INT, n INT, doc_min LONG, "
     "doc_max LONG, max_weight DOUBLE, docs BINARY, wts BINARY, "
     "max_nweight DOUBLE, nwts BINARY"
 )
+
+
+def _query_term_ids(terms: list[str], seed: int) -> dict[str, int]:
+    """term → term_id for a query's terms, raising on the (astronomically
+    unlikely, ~1/2^60 per pair) driver-visible collision instead of
+    silently merging two query terms' weights."""
+    ids = {t: term_id_py(t, seed) for t in terms}
+    if len(set(ids.values())) != len(ids):
+        by_id: dict[int, list[str]] = {}
+        for t, i in ids.items():
+            by_id.setdefault(i, []).append(t)
+        clash = [ts for ts in by_id.values() if len(ts) > 1]
+        raise ValueError(
+            f"query term_id collision {clash!r}: rebuild the index with a "
+            f"different IndexConfig.term_id_seed"
+        )
+    return ids
 
 
 def _tombstone_blocks(deleted: DataFrame, segment_docs: int) -> DataFrame:
@@ -93,7 +113,7 @@ def _tombstone_blocks(deleted: DataFrame, segment_docs: int) -> DataFrame:
             out: dict[str, list] = {
                 k: []
                 for k in (
-                    "seg", "term", "block_id", "n", "doc_min", "doc_max",
+                    "seg", "term_id", "block_id", "n", "doc_min", "doc_max",
                     "max_weight", "docs", "wts", "max_nweight", "nwts",
                 )
             }
@@ -103,7 +123,7 @@ def _tombstone_blocks(deleted: DataFrame, segment_docs: int) -> DataFrame:
                 deltas[0] = ids[0]
                 deltas[1:] = np.diff(ids).astype(np.uint64)
                 out["seg"].append(int(seg))
-                out["term"].append(TOMB_TERM)
+                out["term_id"].append(TOMB_TERM_ID)
                 out["block_id"].append(0)
                 out["n"].append(int(len(ids)))
                 out["doc_min"].append(int(ids[0]))
@@ -115,13 +135,13 @@ def _tombstone_blocks(deleted: DataFrame, segment_docs: int) -> DataFrame:
                 out["nwts"].append(b"")
             yield pd.DataFrame(out)
 
-    return dels.mapInPandas(pack, schema=_POSTINGS_SCHEMA)
+    return dels.mapInPandas(pack, schema=_PRUNED_SCHEMA)
 
 
 def _split_tombstones(
     pdf: pd.DataFrame,
 ) -> tuple[pd.DataFrame, pd.DataFrame | None]:
-    mask = pdf["term"] == TOMB_TERM
+    mask = pdf["term_id"] < 0  # real ids are non-negative 60-bit hashes
     if not mask.any():
         return pdf, None
     return pdf[~mask], pdf[mask]
@@ -141,7 +161,7 @@ def _dead_local(tomb: pd.DataFrame | None, seg: int, seg_base: int) -> np.ndarra
 
 def _score_segment(
     g: pd.DataFrame,
-    qw_map: dict[str, float],
+    qw_map: dict[int, float],
     seg_base: int,
     seg_docs: int,
     top_k: int,
@@ -176,7 +196,7 @@ def _score_segment(
     # the previous max doc_int)
     terms = []
     blocks_total = 0
-    for term, tg in g.groupby("term", sort=False):
+    for term, tg in g.groupby("term_id", sort=False):
         qw = qw_map[term]
         tg = tg.sort_values("doc_min", kind="stable")
         bmin = tg["doc_min"].to_numpy(dtype=np.int64) - seg_base
@@ -282,11 +302,13 @@ def _score_segment(
 
 def _pruned_with_tombstones(
     postings: DataFrame,
-    qterms: list[str],
+    qterm_ids: list[int],
     deleted: DataFrame | None,
     segment_docs: int,
     wcol: str = "wts",
     mcol: str = "max_weight",
+    qterms_legacy: list[str] | None = None,
+    term_id_seed: int = 0,
 ) -> DataFrame:
     """Term filter FIRST (parquet predicate pushdown — only the query's
     posting lists are read), prune to the columns THIS score mode's kernel
@@ -296,6 +318,13 @@ def _pruned_with_tombstones(
     only the query's postings (same volume the SQL path shuffles into its
     join).
 
+    On the round-4 layout the filter is ``term_id IN (...)`` — an int64
+    predicate against the natively-stored hash, pushed to parquet row-group
+    stats exactly like the string filter was.  On a legacy index
+    (``qterms_legacy`` given) the string filter still pushes down and the
+    hash is projected JVM-side above the scan, so the exchange/hop/kernel
+    see the identical int64-keyed frame either way.
+
     The column pruning matters as much as the term filter: the postings
     table carries BOTH weight streams (``wts`` and the cosine-mode
     ``nwts``, equal-sized) plus ``block_id``; a dot-mode query that
@@ -304,8 +333,15 @@ def _pruned_with_tombstones(
     cap on this box is exactly bytes through that hop.  The projection
     lands below the exchange (Catalyst pushes it into the scan), so the
     unused stream is never read, shuffled, or IPC'd."""
-    cols = ["seg", "term", "n", "doc_min", "doc_max", mcol, "docs", wcol]
-    pruned = postings.where(F.col("term").isin(qterms)).select(*cols)
+    cols = ["seg", "term_id", "n", "doc_min", "doc_max", mcol, "docs", wcol]
+    if qterms_legacy is not None:
+        pruned = (
+            postings.where(F.col("term").isin(qterms_legacy))
+            .withColumn("term_id", term_id_expr(F.col("term"), term_id_seed))
+            .select(*cols)
+        )
+    else:
+        pruned = postings.where(F.col("term_id").isin(qterm_ids)).select(*cols)
     if deleted is not None:
         pruned = pruned.unionByName(
             _tombstone_blocks(deleted, segment_docs).select(*cols)
@@ -321,6 +357,7 @@ def wand_search_scores(
     top_k: int = 10,
     deleted: DataFrame | None = None,
     use_cosine: bool = False,
+    term_id_seed: int = 0,
 ) -> DataFrame:
     """(doc_int, score) candidates: per-segment exact top-k via the pruned
     kernel, global merge left to the caller's orderBy/limit.
@@ -328,11 +365,20 @@ def wand_search_scores(
     ``use_cosine`` runs the SAME kernel over the normalized weight stream
     (``nwts``/``max_nweight``: w/‖d‖ packed at build time) — cosine is then
     a plain dot product, Σ qw·(w/‖d‖), up to the query-norm factor the
-    caller divides out (monotone, so pruning and ranking are unaffected)."""
+    caller divides out (monotone, so pruning and ranking are unaffected).
+
+    The postings layout (native int64 ``term_id`` vs legacy ``term``
+    string) is detected from the frame's columns; ``term_id_seed`` must be
+    the index's recorded seed (manifest layout)."""
     qterms = [t for t, _ in terms]
-    b_qw = spark.sparkContext.broadcast(dict(terms))
+    ids = _query_term_ids(qterms, term_id_seed)
+    b_qw = spark.sparkContext.broadcast({ids[t]: w for t, w in terms})
     wcol, mcol = ("nwts", "max_nweight") if use_cosine else ("wts", "max_weight")
-    pruned = _pruned_with_tombstones(postings, qterms, deleted, segment_docs, wcol, mcol)
+    pruned = _pruned_with_tombstones(
+        postings, [ids[t] for t in qterms], deleted, segment_docs, wcol, mcol,
+        qterms_legacy=None if "term_id" in postings.columns else qterms,
+        term_id_seed=term_id_seed,
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         frames = [b for b in batches if len(b)]
@@ -360,14 +406,20 @@ def wand_profile(
     top_k: int = 10,
     deleted: DataFrame | None = None,
     use_cosine: bool = False,
+    term_id_seed: int = 0,
 ) -> DataFrame:
     """Instrumented run: per-segment (blocks_total, blocks_decoded) for the
     same exact computation — the pruning-effectiveness probe behind the
     ``wand_block_skip_ratio`` bench entry."""
     qterms = [t for t, _ in terms]
-    b_qw = spark.sparkContext.broadcast(dict(terms))
+    ids = _query_term_ids(qterms, term_id_seed)
+    b_qw = spark.sparkContext.broadcast({ids[t]: w for t, w in terms})
     wcol, mcol = ("nwts", "max_nweight") if use_cosine else ("wts", "max_weight")
-    pruned = _pruned_with_tombstones(postings, qterms, deleted, segment_docs, wcol, mcol)
+    pruned = _pruned_with_tombstones(
+        postings, [ids[t] for t in qterms], deleted, segment_docs, wcol, mcol,
+        qterms_legacy=None if "term_id" in postings.columns else qterms,
+        term_id_seed=term_id_seed,
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         frames = [b for b in batches if len(b)]
@@ -397,7 +449,7 @@ def wand_profile(
 
 def _batch_segment(
     g: pd.DataFrame,
-    queries: list[tuple[str, list[tuple[str, float]]]],
+    queries: list[tuple[str, list[tuple[int, float]]]],
     base: int,
     segment_docs: int,
     top_k: int,
@@ -443,9 +495,9 @@ def _batch_segment(
     # per-term block metadata: bmin/bmax/max-weight arrays (doc_min
     # ascending; blocks are non-overlapping consecutive runs, see
     # _score_segment), packed buffers, and the shared decode cache.
-    meta: dict[str, tuple] = {}
+    meta: dict[int, list] = {}
     blocks_total = 0
-    for term, tg in g.groupby("term", sort=False):
+    for term, tg in g.groupby("term_id", sort=False):
         tg = tg.sort_values("doc_min", kind="stable")
         bmin = tg["doc_min"].to_numpy(dtype=np.int64) - base
         bmax = tg["doc_max"].to_numpy(dtype=np.int64) - base
@@ -597,14 +649,23 @@ def _batch_prepared(
     segment_docs: int,
     deleted: DataFrame | None,
     use_cosine: bool,
+    term_id_seed: int = 0,
 ):
     qids = sorted(queries_terms)
     all_terms = sorted({t for ts in queries_terms.values() for t, _ in ts})
+    ids = _query_term_ids(all_terms, term_id_seed)
     b_queries = spark.sparkContext.broadcast(
-        [(qid, sorted(queries_terms[qid], key=lambda tw: tw[0])) for qid in qids]
+        [
+            (qid, sorted((ids[t], w) for t, w in queries_terms[qid]))
+            for qid in qids
+        ]
     )
     wcol, mcol = ("nwts", "max_nweight") if use_cosine else ("wts", "max_weight")
-    pruned = _pruned_with_tombstones(postings, all_terms, deleted, segment_docs, wcol, mcol)
+    pruned = _pruned_with_tombstones(
+        postings, [ids[t] for t in all_terms], deleted, segment_docs, wcol, mcol,
+        qterms_legacy=None if "term_id" in postings.columns else all_terms,
+        term_id_seed=term_id_seed,
+    )
     return b_queries, wcol, mcol, pruned
 
 
@@ -616,6 +677,7 @@ def wand_search_many_scores(
     top_k: int = 10,
     deleted: DataFrame | None = None,
     use_cosine: bool = False,
+    term_id_seed: int = 0,
 ) -> DataFrame:
     """Batch retrieval: (query_id, doc_int, score) per-segment top-k
     candidates for EVERY query in one pass.
@@ -630,7 +692,8 @@ def wand_search_many_scores(
     leave the kernel.
     """
     b_queries, wcol, mcol, pruned = _batch_prepared(
-        spark, postings, queries_terms, segment_docs, deleted, use_cosine
+        spark, postings, queries_terms, segment_docs, deleted, use_cosine,
+        term_id_seed,
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -659,13 +722,15 @@ def wand_batch_profile(
     top_k: int = 10,
     deleted: DataFrame | None = None,
     use_cosine: bool = False,
+    term_id_seed: int = 0,
 ) -> DataFrame:
     """Instrumented batch run: per-segment (blocks_total, blocks_decoded)
     for the same exact computation — the probe behind the
     ``batch_block_decode_ratio`` bench entry (blocks the lazy cache never
     had to decode for ANY query in the batch stay packed)."""
     b_queries, wcol, mcol, pruned = _batch_prepared(
-        spark, postings, queries_terms, segment_docs, deleted, use_cosine
+        spark, postings, queries_terms, segment_docs, deleted, use_cosine,
+        term_id_seed,
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -236,12 +236,12 @@ def test_index_artifact_identical_across_parallelism(spark, tmp_path):
             for r in spark.read.parquet(f"{idx}/docs").select("doc_id", "doc_int", "doc_len").collect()
         )
         tstats = sorted(
-            (r["term"], r["df"], r["max_tf"], round(r["idf"], 10))
+            (r["term"], r["df"], r["max_tf"], round(r["idf"], 10), r["term_id"])
             for r in spark.read.parquet(f"{idx}/term_stats").collect()
         )
         post = sorted(
             (
-                (r["seg"], r["term"], r["block_id"]),
+                (r["seg"], r["term_id"], r["block_id"]),
                 (r["n"], r["doc_min"], r["doc_max"], bytes(r["docs"]), bytes(r["wts"])),
                 bytes(r["nwts"]),
             )

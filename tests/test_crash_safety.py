@@ -227,20 +227,20 @@ def test_optimize_mixed_nwts_raises(spark, tmp_path):
     post = spark.read.parquet(str(post_dir))
     # find a (seg, term) with >= 2 runs and blank ONE run's nwts
     frag = (
-        post.groupBy("seg", "term").count().where(F.col("count") > 1).limit(1).collect()
+        post.groupBy("seg", "term_id").count().where(F.col("count") > 1).limit(1).collect()
     )
     assert frag, "fixture never fragmented"
-    seg, term = frag[0]["seg"], frag[0]["term"]
+    seg, term = frag[0]["seg"], frag[0]["term_id"]
     corrupted = post.withColumn(
         "nwts",
         F.when(
-            (F.col("seg") == seg) & (F.col("term") == term) & (F.col("block_id") == 0),
+            (F.col("seg") == seg) & (F.col("term_id") == term) & (F.col("block_id") == 0),
             F.lit(b""),
         ).otherwise(F.col("nwts")),
     ).withColumn(
         "max_nweight",
         F.when(
-            (F.col("seg") == seg) & (F.col("term") == term) & (F.col("block_id") == 0),
+            (F.col("seg") == seg) & (F.col("term_id") == term) & (F.col("block_id") == 0),
             F.lit(0.0),
         ).otherwise(F.col("max_nweight")),
     )

@@ -165,7 +165,7 @@ def test_optimize_coalesces_appended_runs(spark, tmp_path):
     # appends created multiple runs for hot (seg, term) pairs
     runs = (
         spark.read.parquet(str(post_dir))
-        .groupBy("seg", "term").count().where(F.col("count") > 1).count()
+        .groupBy("seg", "term_id").count().where(F.col("count") > 1).count()
     )
     assert runs > 0, "fixture never fragmented — appends too small?"
 
@@ -182,7 +182,7 @@ def test_optimize_coalesces_appended_runs(spark, tmp_path):
     import math
     post = spark.read.parquet(str(post_dir))
     bad = (
-        post.groupBy("seg", "term")
+        post.groupBy("seg", "term_id")
         .agg(F.count("*").alias("blocks"), F.sum("n").alias("postings"))
         .where(F.col("blocks") != F.ceil(F.col("postings") / F.lit(CFG.block_size)))
         .count()
@@ -190,7 +190,7 @@ def test_optimize_coalesces_appended_runs(spark, tmp_path):
     assert bad == 0
     # block ids are a clean 0..k sequence per (seg, term)
     seq = (
-        post.groupBy("seg", "term")
+        post.groupBy("seg", "term_id")
         .agg(F.count("*").alias("blocks"), F.max("block_id").alias("mx"))
         .where(F.col("mx") != F.col("blocks") - 1)
         .count()

@@ -87,7 +87,7 @@ def test_segment_kernel_pruning_exactness():
         for b in pack_postings(docs, wts, 32):
             rows.append(
                 {
-                    "seg": 0, "term": term, "block_id": b["block_id"], "n": b["n"],
+                    "seg": 0, "term_id": term, "block_id": b["block_id"], "n": b["n"],
                     "doc_min": b["doc_min"], "doc_max": b["doc_max"],
                     "max_weight": b["max_weight"], "docs": b["docs"], "wts": b["wts"],
                 }
@@ -101,7 +101,11 @@ def test_segment_kernel_pruning_exactness():
 
 
 def _mk_rows(term_postings, block_size=4):
-    """term_postings: {term: [(doc, w), ...]} → postings rows + qw_map=1.0."""
+    """term_postings: {term: [(doc, w), ...]} → postings rows + qw_map=1.0.
+
+    The kernels group on the ``term_id`` column but are key-type agnostic
+    (the live path feeds int64 hashes; these unit fixtures keep readable
+    string keys)."""
     from splade_easy_spark.index.postings import pack_postings
 
     rows = []
@@ -111,7 +115,7 @@ def _mk_rows(term_postings, block_size=4):
         for b in pack_postings(docs, wts, block_size):
             rows.append(
                 {
-                    "seg": 0, "term": term, "block_id": b["block_id"], "n": b["n"],
+                    "seg": 0, "term_id": term, "block_id": b["block_id"], "n": b["n"],
                     "doc_min": b["doc_min"], "doc_max": b["doc_max"],
                     "max_weight": b["max_weight"], "docs": b["docs"], "wts": b["wts"],
                 }
@@ -164,7 +168,7 @@ def test_kernel_randomized_with_deletes():
             for b in pack_postings(docs, wts, 16):
                 rows.append(
                     {
-                        "seg": 0, "term": term, "block_id": b["block_id"], "n": b["n"],
+                        "seg": 0, "term_id": term, "block_id": b["block_id"], "n": b["n"],
                         "doc_min": b["doc_min"], "doc_max": b["doc_max"],
                         "max_weight": b["max_weight"], "docs": b["docs"], "wts": b["wts"],
                     }
@@ -288,7 +292,7 @@ def test_batch_segment_unsorted_rows_exact():
         for b in pack_postings(docs, wts, 8):
             rows.append(
                 {
-                    "seg": 0, "term": term, "block_id": b["block_id"], "n": b["n"],
+                    "seg": 0, "term_id": term, "block_id": b["block_id"], "n": b["n"],
                     "doc_min": b["doc_min"], "doc_max": b["doc_max"],
                     "max_weight": b["max_weight"], "docs": b["docs"], "wts": b["wts"],
                 }

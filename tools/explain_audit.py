@@ -70,7 +70,7 @@ def main() -> None:
     sections.append(
         (
             "search — WAND path (packed postings kernel)",
-            "postings scan with PushedFilters on `term` "
+            "postings scan with PushedFilters In on the int64 `term_id` "
             "(`seg` hive-partitioned); one seg Exchange; MapInPandas/"
             "ArrowEvalPython kernel; TakeOrderedAndProject for the global "
             "k-merge.",
@@ -104,7 +104,7 @@ def main() -> None:
     sections.append(
         (
             "batch search_many — WAND path (shared lazy-decode kernel)",
-            "ONE postings scan pruned to the UNION of all queries' terms "
+            "ONE postings scan pruned to the UNION of all queries' term_ids "
             "(PushedFilters), one seg Exchange, one MapInPandas batch "
             "kernel (per-query work stays inside it — no per-query jobs, "
             "no postings×queries join blowup), window top-k per query_id.",
@@ -171,7 +171,8 @@ def main() -> None:
     # quick greppable assertions (exit non-zero if a contract is gone)
     text = "\n".join(p for _, _, p in sections)
     checks = {
-        "PushedFilters on term reach a scan": "term" in text and "PushedFilters" in text,
+        "PushedFilters on term/term_id reach a scan": "term" in text and "PushedFilters" in text,
+        "postings filter is the int64 term_id": "term_id" in text,
         "TakeOrderedAndProject used": "TakeOrderedAndProject" in text,
         "BroadcastHashJoin present": "BroadcastHashJoin" in text,
         "no CartesianProduct anywhere": all("CartesianProduct" not in sec[2] for sec in sections),

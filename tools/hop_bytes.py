@@ -86,21 +86,40 @@ def main() -> None:
     }
 
     # ---- hop 2: the WAND kernel input (query hot path, dot mode) -------
+    # three generations: round-2 shipped the whole schema (both weight
+    # streams + block_id + term string), round-3 pruned to the active
+    # mode's columns but still carried the term string per block row,
+    # round-4 stores/ships the int64 term_id instead of the string.
+    from splade_easy_spark.index.catalog import term_id_py
     from splade_easy_spark.query.searcher import analyze_query
 
     terms = [t for t, _ in analyze_query("baba0 ceba1 diba2 foba3 sudi4", cfg)]
+    ids = [term_id_py(t, cfg.term_id_seed) for t in terms]
     postings = s.cat.read(spark, "postings")
-    full = postings.where(F.col("term").isin(terms))  # round-2: whole schema
-    pruned = full.select(
+    native = postings.where(F.col("term_id").isin(ids))
+    # reattach the string to reconstruct the older shipped schemas exactly
+    tmap = s.cat.read(spark, "term_stats").select("term", "term_id")
+    with_str = native.join(F.broadcast(tmap), "term_id")
+    full = with_str.select(  # round-2 wire schema
+        "seg", "term", "block_id", "n", "doc_min", "doc_max",
+        "max_weight", "docs", "wts", "max_nweight", "nwts",
+    )
+    r3 = with_str.select(
         "seg", "term", "n", "doc_min", "doc_max", "max_weight", "docs", "wts"
     )
+    r4 = native.select(
+        "seg", "term_id", "n", "doc_min", "doc_max", "max_weight", "docs", "wts"
+    )
     b_full, r_full = arrow_bytes(full, 200_000)
-    b_pr, r_pr = arrow_bytes(pruned, 200_000)
+    b_r3, n_r3 = arrow_bytes(r3, 200_000)
+    b_r4, n_r4 = arrow_bytes(r4, 200_000)
     out["query_hop"] = {
         "block_rows_sampled": r_full,
         "round2_bytes_per_block_row": round(b_full / r_full, 1),
-        "round3_bytes_per_block_row": round(b_pr / r_pr, 1),
-        "reduction": round(1 - (b_pr / r_pr) / (b_full / r_full), 3),
+        "round3_bytes_per_block_row": round(b_r3 / n_r3, 1),
+        "round4_bytes_per_block_row": round(b_r4 / n_r4, 1),
+        "reduction_vs_round2": round(1 - (b_r4 / n_r4) / (b_full / r_full), 3),
+        "reduction_vs_round3": round(1 - (b_r4 / n_r4) / (b_r3 / n_r3), 3),
     }
     print(json.dumps(out))
     spark.stop()
