@@ -17,8 +17,13 @@ Headline suite:
   dedup_minhash    — MinHash-LSH candidate pairs over documents
   ann_topk         — brute-force cosine top-k over embeddings
   quality_langid   — quality + language-id scan over documents
+  search_batch_widevocab100 — 100-query batch over a 50k-term corpus
+                     (realistic Zipf tail; decode ratio in extras)
 
 Extra metrics: build turns/sec (the BASELINE.json headline), index sizes.
+A default 120 s cooldown rests the box first (SPARK_GRAFT_COOLDOWN=0 to
+skip): the recorded artifact must be a rested-box number (BENCH.md
+§envelope drift; the round-3 artifact was hot-box-skewed).
 """
 
 from __future__ import annotations
@@ -37,6 +42,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    # Rest the box before measuring.  This sandbox VM throttles with load
+    # HISTORY, not just concurrent load: the same pure-JVM probe measures
+    # 0.59 vs 0.78–0.81 2→8 efficiency depending on what ran in the
+    # preceding minutes (BENCH.md §envelope drift), and the round-3 driver
+    # bench — recorded at the end of a 40-minute marathon — read 26–54%
+    # slower than round 2 on code paths that had not changed.  The default
+    # cooldown makes the recorded artifact a rested-box number; set
+    # SPARK_GRAFT_COOLDOWN=0 when iterating.
+    cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN", "120"))
+    if cooldown:
+        time.sleep(cooldown)
 
     from splade_easy_spark.config import IndexConfig
     from splade_easy_spark.data import generate_transcripts, generate_query_set
@@ -142,6 +159,41 @@ def main() -> None:
         extra["batch_blocks_total"] = bbt
         extra["batch_blocks_decoded"] = bbd
         extra["batch_block_decode_ratio"] = round(bbd / bbt, 4) if bbt else 0.0
+
+        # realistic-vocabulary regime (round-3 VERDICT #4): a 50k-term
+        # corpus thins posting lists out like a real tail; a 100-query
+        # batch through the same kernel, with its decode ratio.  (The
+        # measured ratio stays ~0.99 in every regime — the round-4 basis
+        # for simplifying the batch kernel to decode-once; this entry
+        # keeps the honest number in the artifact of record.)
+        wv_convs = max(200, num_convs // 4)
+        wv_idx = tempfile.mkdtemp(prefix="bench_wv_", dir=tmp_root)
+        try:
+            wv_tx = generate_transcripts(
+                spark, num_convs=wv_convs, seed=43, vocab_size=50_000
+            )
+            wv_res = build_index(spark, wv_tx, wv_idx, cfg)
+            extra["widevocab_terms"] = wv_res.n_terms
+            wv_search = Searcher(spark, wv_idx, cfg)
+            wv_qset = generate_query_set(100, seed=77, vocab_size=50_000)
+            t0 = time.time()
+            wv_search.search_many(wv_qset, top_k=10, method="wand").count()
+            timings["search_batch_widevocab100"] = round(time.time() - t0, 3)
+            wv_qt = {
+                q["query_id"]: analyze_query(q["text"], cfg) for q in wv_qset
+            }
+            wv_prof = wand_batch_profile(
+                spark,
+                wv_search.cat.read(spark, "postings"),
+                {k: v for k, v in wv_qt.items() if v},
+                cfg.segment_docs,
+                top_k=10,
+            ).collect()
+            wt = sum(r["blocks_total"] for r in wv_prof)
+            wd = sum(r["blocks_decoded"] for r in wv_prof)
+            extra["widevocab_decode_ratio"] = round(wd / wt, 4) if wt else 0.0
+        finally:
+            shutil.rmtree(wv_idx, ignore_errors=True)
 
         for name in ["bm25_topk", "lsh_candidates", "ann_topk", "quality_features", "language_id"]:
             fn = entry.queries()[name]

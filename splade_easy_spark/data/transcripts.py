@@ -56,14 +56,23 @@ _SYLLABLES = [
 
 def make_vocab(size: int = VOCAB_SIZE) -> list[str]:
     """Deterministic pseudo-word vocabulary; word i is a fixed syllable
-    composition of its index (no RNG — stable across processes)."""
+    composition of its index (no RNG — stable across processes).
+
+    Words for i < 27000 are identical to the original two/three-syllable
+    scheme (fixtures and gate hashes depend on them); beyond that the
+    base-30 expansion simply continues with more syllables, so arbitrarily
+    wide vocabularies (the realistic-vocabulary bench uses 50k+) stay
+    collision-free — the old scheme silently recycled words past 27k
+    because the digit cycle (10) divides the 3-syllable period (27000).
+    Uniqueness is pinned by tests/test_transcripts.py."""
     n = len(_SYLLABLES)
     out = []
     for i in range(size):
-        a, b, c = i % n, (i // n) % n, (i // (n * n)) % n
-        w = _SYLLABLES[a] + _SYLLABLES[b]
-        if i >= n * n:
-            w += _SYLLABLES[c]
+        w = _SYLLABLES[i % n] + _SYLLABLES[(i // n) % n]
+        j = i // (n * n)
+        while j:
+            w += _SYLLABLES[j % n]
+            j //= n
         out.append(w + str(i % 10))
     return out
 
@@ -122,11 +131,15 @@ def generate_transcripts(
     num_convs: int = 100,
     seed: int = 42,
     num_partitions: int | None = None,
+    vocab_size: int = VOCAB_SIZE,
 ) -> DataFrame:
-    """Distributed deterministic transcript generator."""
+    """Distributed deterministic transcript generator.  ``vocab_size``
+    widens the Zipfian vocabulary (default 5000; the realistic-vocabulary
+    bench draws from 50k+ so posting lists thin out like a real corpus's
+    tail)."""
     if num_partitions is None:
         num_partitions = min(max(1, num_convs // 50), 64)
-    vocab = np.array(make_vocab(), dtype=object)
+    vocab = np.array(make_vocab(vocab_size), dtype=object)
     cumprobs = np.cumsum(_zipf_probs(len(vocab)))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -146,11 +159,13 @@ def generate_transcripts(
     )
 
 
-def generate_query_set(num_queries: int = 50, seed: int = 4242) -> list[dict]:
+def generate_query_set(
+    num_queries: int = 50, seed: int = 4242, vocab_size: int = VOCAB_SIZE
+) -> list[dict]:
     """Fixed reference query set (FIXTURES.md §3): texts drawn from the same
     vocabulary (guaranteed hits for most), plus single-term and no-hit
     queries.  Driver-side only — a query set is tiny by definition."""
-    vocab = make_vocab()
+    vocab = make_vocab(vocab_size)
     probs = _zipf_probs(len(vocab))
     rng = np.random.default_rng(seed)
     queries = []

@@ -462,24 +462,27 @@ def _batch_segment(
 
     Returns (query_ids, doc_ints, scores, blocks_total, blocks_decoded).
 
-    Blocks are decoded LAZILY through a per-term cache shared by every
-    query: a block is only decoded the first time some query's phase-1
-    scatter cannot prove it irrelevant (the same block-max skip invariant
-    as ``_score_segment``: exact acc-so-far + this block's qw·max_weight +
-    remaining terms' upper bounds < θ ⇒ no doc in the block can reach the
-    final top-k) or when the MaxScore repair step needs a candidate's
-    covering block.  Round 2 decoded every block of the query-term union
-    unconditionally; with a 10⁴-query batch over a Zipfian vocabulary most
-    tail-term blocks are never needed by ANY query and now stay packed.
+    Decode policy is **once per term, whole list** (round-4 measurement):
+    round 3 decoded blocks lazily through a per-block cache with block-max
+    probes, betting that a batch would leave many blocks packed.  Measured
+    across the regimes that matter — 5k and 50k vocabularies, 2–7-term and
+    SPLADE-like 24-term queries, 100–500-query batches — the batch decode
+    ratio never left 0.97–1.00: rare terms carry the HIGHEST idf, so every
+    query scatters its rare (thin) terms first and cuts its common (fat)
+    ones, and across even a modest batch some query always ends up needing
+    each matched term.  The per-block probes were pure overhead at batch
+    scale (a 500-query run was ~40% slower before the round-3 fast path
+    papered over them), so the cache is gone: a term's posting list is
+    decoded in full the first time ANY query scatters it or repairs
+    through it, then every later use is one vectorized scatter/gather.
 
-    Once a term IS fully decoded, later queries take a concatenated fast
-    path: one scatter/gather over the term's whole posting array, with no
-    per-block skip checks — each ``acc[lo:hi].max()`` probe costs more
-    than the scatter it could save once the decode is already paid, and a
-    large batch re-pays that probe per query (measured: a 500-query batch
-    over a full-union workload ran ~40% slower on the always-per-block
-    path than on round 2's decode-once path; the fast path restores the
-    decode-once behavior exactly where decode-once was optimal).
+    What still stays packed: terms MaxScore-cut by every query that
+    carries them whose block ranges (checked against candidate doc ids
+    with metadata only — searchsorted over bmin/bmax, no decode) never
+    cover a surviving candidate.  Single queries keep real block-level
+    skipping in ``_score_segment`` (skip ratio ~0.6 on the bench corpus);
+    that is the right tool for k≈1–5 queries, this kernel is the right
+    tool for batches.
 
     Each term's block rows are sorted by ``doc_min`` before use — rows
     arrive through a ``repartition(seg)`` shuffle and, on appended indexes,
@@ -492,49 +495,35 @@ def _batch_segment(
         alive = np.ones(segment_docs, dtype=bool)
         alive[dead[(dead >= 0) & (dead < segment_docs)]] = False
 
-    # per-term block metadata: bmin/bmax/max-weight arrays (doc_min
-    # ascending; blocks are non-overlapping consecutive runs, see
-    # _score_segment), packed buffers, and the shared decode cache.
+    # per-term: block ranges (doc_min ascending, non-overlapping — see
+    # _score_segment), packed buffers, decode slot, score upper bound
     meta: dict[int, list] = {}
     blocks_total = 0
     for term, tg in g.groupby("term_id", sort=False):
         tg = tg.sort_values("doc_min", kind="stable")
         bmin = tg["doc_min"].to_numpy(dtype=np.int64) - base
         bmax = tg["doc_max"].to_numpy(dtype=np.int64) - base
-        maxw = tg[mcol].to_numpy(dtype=np.float64)
         bufs = list(zip(tg["docs"], tg[wcol], tg["n"].astype(int)))
-        cache: list[tuple[np.ndarray, np.ndarray] | None] = [None] * len(bufs)
-        # slots: 6 = full concatenated (idx, wts) once every block is
-        # decoded (idx ascending: blocks are doc_min-sorted and
-        # non-overlapping), 7 = decoded-block count
-        meta[term] = [bmin, bmax, maxw, bufs, cache, float(maxw.max()), None, 0]
+        # slots: 0=bmin 1=bmax 2=bufs 3=decoded (idx, wts) 4=max weight
+        meta[term] = [bmin, bmax, bufs, None, float(tg[mcol].max())]
         blocks_total += len(bufs)
 
     n_decoded = 0
 
-    def block(tm: list, j: int) -> tuple[np.ndarray, np.ndarray]:
+    def full(tm: list) -> tuple[np.ndarray, np.ndarray]:
+        """The term's whole posting list (idx ascending), decoded once."""
         nonlocal n_decoded
-        cache = tm[4]
-        if cache[j] is None:
-            dbuf, wbuf, n = tm[3][j]
-            d, w = unpack_block(dbuf, wbuf, int(n))
-            cache[j] = (d - base, w)
-            n_decoded += 1
-            tm[7] += 1
-        return cache[j]
-
-    def full(tm: list) -> tuple[np.ndarray, np.ndarray] | None:
-        """Concatenated (idx, wts) once the whole term is decoded."""
-        if tm[6] is None and tm[7] == len(tm[3]):
-            parts = tm[4]
+        if tm[3] is None:
+            parts = [unpack_block(d, w, int(n)) for d, w, n in tm[2]]
             if len(parts) == 1:
-                tm[6] = parts[0]
+                tm[3] = (parts[0][0] - base, parts[0][1])
             else:
-                tm[6] = (
-                    np.concatenate([p[0] for p in parts]),
+                tm[3] = (
+                    np.concatenate([p[0] for p in parts]) - base,
                     np.concatenate([p[1] for p in parts]),
                 )
-        return tm[6]
+            n_decoded += len(tm[2])
+        return tm[3]
 
     acc = np.zeros(segment_docs, dtype=np.float64)
     out_q: list[str] = []
@@ -547,9 +536,9 @@ def _batch_segment(
         # cannot enter the top-k, and the skipped terms' contributions to
         # surviving candidates are repaired exactly afterwards.
         present = [
-            (qw * meta[t][5], t, qw)
+            (qw * meta[t][4], t, qw)
             for t, qw in qterms
-            if t in meta and meta[t][5] > 0.0
+            if t in meta and meta[t][4] > 0.0
         ]
         if not present:
             continue
@@ -564,28 +553,8 @@ def _batch_segment(
             if theta_set and suffix[i] < theta:
                 cut = i  # remaining terms cannot create new top-k docs
                 break
-            tm = meta[term]
-            fp = full(tm)
-            if fp is not None:
-                # fully-decoded term: one scatter over the whole posting
-                # array, no per-block probes (decode-once fast path)
-                sidx, fwts = fp
-                acc[sidx] += qw * fwts
-            else:
-                bmin, bmax, maxw = tm[0], tm[1], tm[2]
-                remaining_after = float(suffix[i + 1])
-                scattered: list[np.ndarray] = []
-                for j in range(len(bmin)):
-                    if theta_set:
-                        lo, hi = int(bmin[j]), int(bmax[j]) + 1
-                        if acc[lo:hi].max() + qw * maxw[j] + remaining_after < theta:
-                            continue  # block-max skip (exact, see docstring)
-                    idx, wts = block(tm, j)
-                    acc[idx] += qw * wts
-                    scattered.append(idx)
-                if not scattered:
-                    continue
-                sidx = scattered[0] if len(scattered) == 1 else np.concatenate(scattered)
+            sidx, swts = full(meta[term])
+            acc[sidx] += qw * swts
             # cheap θ lower bound: kth largest of the LIVE accs on the
             # postings scattered so far (a subset's kth is ≤ the global
             # kth, so pruning stays safe; dead docs excluded or θ would
@@ -603,34 +572,26 @@ def _batch_segment(
             continue
         if cut < len(present):
             # candidate filter with the skipped tail's ub, then exact
-            # repair of those terms on survivors only — per candidate,
-            # find its covering block (searchsorted over the sorted
-            # non-overlapping block ranges), decode just those blocks,
-            # and gather the exact weight at the candidate's position.
+            # repair of those terms on survivors only.  The coverage test
+            # runs on block METADATA (searchsorted over the sorted
+            # non-overlapping ranges): a cut term none of whose blocks
+            # contains a surviving candidate is never decoded at all.
             rem = float(suffix[cut])
             live = live[acc[live] + rem >= theta]
             for _, term, qw in present[cut:]:
                 tm = meta[term]
-                fp = full(tm)
-                if fp is not None:
-                    # fully-decoded term: gather over the whole sorted array
-                    fidx, fwts = fp
-                    p = np.searchsorted(fidx, live)
-                    ok = p < len(fidx)
-                    ok[ok] = fidx[p[ok]] == live[ok]
-                    acc[live[ok]] += qw * fwts[p[ok]]
-                    continue
-                bmin, bmax = tm[0], tm[1]
-                pos = np.searchsorted(bmin, live, side="right") - 1
-                cov = pos >= 0
-                cov[cov] = live[cov] <= bmax[pos[cov]]
-                for j in np.unique(pos[cov]):
-                    cand = live[cov & (pos == j)]
-                    idx, wts = block(tm, int(j))
-                    p = np.searchsorted(idx, cand)
-                    ok = p < len(idx)
-                    ok[ok] = idx[p[ok]] == cand[ok]
-                    acc[cand[ok]] += qw * wts[p[ok]]
+                if tm[3] is None:
+                    bmin, bmax = tm[0], tm[1]
+                    pos = np.searchsorted(bmin, live, side="right") - 1
+                    cov = pos >= 0
+                    cov[cov] = live[cov] <= bmax[pos[cov]]
+                    if not cov.any():
+                        continue  # no candidate in any block range: skip
+                fidx, fwts = full(tm)
+                p = np.searchsorted(fidx, live)
+                ok = p < len(fidx)
+                ok[ok] = fidx[p[ok]] == live[ok]
+                acc[live[ok]] += qw * fwts[p[ok]]
         scores = acc[live]
         if len(live) > top_k:
             kth = np.partition(scores, len(scores) - top_k)[len(scores) - top_k]
@@ -685,7 +646,7 @@ def wand_search_many_scores(
     The SQL batch path multiplies each posting row by every query sharing
     its term (a Zipfian head term × 100 queries → 10^8 joined rows).  Here
     each segment's blocks for the union of query terms are decoded AT MOST
-    once (lazily — see ``_batch_segment``; blocks no query needs stay
+    once (decode-once per term — see ``_batch_segment``; terms no query needs stay
     packed) and scattered into per-query dense accumulators — work is
     O(Σ_term needed-block decode + Σ_(term,query) postings_in_segment)
     with no join blowup materialized, and only per-segment top-k rows
@@ -726,8 +687,8 @@ def wand_batch_profile(
 ) -> DataFrame:
     """Instrumented batch run: per-segment (blocks_total, blocks_decoded)
     for the same exact computation — the probe behind the
-    ``batch_block_decode_ratio`` bench entry (blocks the lazy cache never
-    had to decode for ANY query in the batch stay packed)."""
+    ``batch_block_decode_ratio`` bench entry (terms no query in the batch
+    scattered or repaired through stay packed)."""
     b_queries, wcol, mcol, pruned = _batch_prepared(
         spark, postings, queries_terms, segment_docs, deleted, use_cosine,
         term_id_seed,

@@ -48,3 +48,16 @@ def test_query_set_fixed():
     assert len(qs) == 50
     assert qs == generate_query_set()  # deterministic
     assert any(q["text"].startswith("zzqx") for q in qs)  # no-hit queries
+
+
+def test_wide_vocab_unique_and_prefix_stable():
+    """make_vocab must stay collision-free at realistic-vocabulary sizes
+    (the pre-round-4 scheme silently recycled words past 27k: the digit
+    cycle 10 divides the 3-syllable period 27000) and must not change any
+    word below the old period (fixture/gate stability)."""
+    from splade_easy_spark.data.transcripts import make_vocab
+
+    wide = make_vocab(120_000)
+    assert len(set(wide)) == len(wide)
+    assert wide[:27_000] == make_vocab(27_000)
+    assert wide[0] == "baba0"
