@@ -160,6 +160,18 @@ def main() -> None:
         extra["batch_blocks_decoded"] = bbd
         extra["batch_block_decode_ratio"] = round(bbd / bbt, 4) if bbt else 0.0
 
+        for name in ["bm25_topk", "lsh_candidates", "ann_topk", "quality_features", "language_id"]:
+            fn = entry.queries()[name]
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            key = {
+                "bm25_topk": "bm25_docs_topk",
+                "lsh_candidates": "dedup_minhash",
+                "quality_features": "quality_scan",
+                "language_id": "langid_scan",
+            }.get(name, name)
+            timings[key] = round(time.time() - t0, 3)
+
         # realistic-vocabulary regime (round-3 VERDICT #4): a 50k-term
         # corpus thins posting lists out like a real tail; a 100-query
         # batch through the same kernel, with its decode ratio.  (The
@@ -195,17 +207,6 @@ def main() -> None:
         finally:
             shutil.rmtree(wv_idx, ignore_errors=True)
 
-        for name in ["bm25_topk", "lsh_candidates", "ann_topk", "quality_features", "language_id"]:
-            fn = entry.queries()[name]
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            key = {
-                "bm25_topk": "bm25_docs_topk",
-                "lsh_candidates": "dedup_minhash",
-                "quality_features": "quality_scan",
-                "language_id": "langid_scan",
-            }.get(name, name)
-            timings[key] = round(time.time() - t0, 3)
 
         total = round(sum(timings.values()), 3)
         print(

@@ -51,7 +51,9 @@ full = time.time() - t0
 
 # scan + seg exchange + Arrow hop with a NO-OP kernel (emits one count row)
 import pandas as pd
-pruned = _pruned_with_tombstones(postings, all_terms, None, cfg.segment_docs)
+from splade_easy_spark.index.catalog import term_id_py
+ids = [term_id_py(t, cfg.term_id_seed) for t in all_terms]
+pruned = _pruned_with_tombstones(postings, ids, None, cfg.segment_docs)
 def noop(batches):
     n = 0
     for b in batches:
