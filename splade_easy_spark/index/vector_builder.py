@@ -296,10 +296,11 @@ def append_vector_documents(
                 )
         tstats_new.write.mode("append").parquet(cat.table_dir("term_stats"))
     # COMMIT POINT: docs last (crash before this line → the pending journal
-    # tombstones the orphan range on the next append)
-    new_docs.drop("token_ids", "weights").write.mode("append").parquet(
-        cat.table_dir("docs")
-    )
+    # tombstones the orphan range on the next append); same seam as the
+    # text appender so crash tests can inject here
+    from splade_easy_spark.index.append import _commit_docs
+
+    _commit_docs(cat, new_docs.drop("token_ids", "weights"))
     doc_terms_raw.unpersist()
     new_docs.unpersist()
 

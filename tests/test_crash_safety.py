@@ -251,3 +251,62 @@ def test_optimize_mixed_nwts_raises(spark, tmp_path):
 
     with pytest.raises(Exception, match="mixes"):
         optimize_postings(spark, idx, cfg, min_files=1)
+
+
+def test_vector_append_crash_before_commit_is_repaired(spark, tmp_path, monkeypatch):
+    """The vector-mode appender shares the docs-last protocol: a crash at
+    the commit point must leave the index repairable and the re-delivered
+    batch must land with results identical to a never-crashed run."""
+    import numpy as np
+
+    import splade_easy_spark.index.append as ap
+    from splade_easy_spark.index.vector_builder import (
+        append_vector_documents,
+        build_vector_index,
+        vector_query_terms,
+    )
+
+    vcfg = IndexConfig(build_partitions=2, term_buckets=8, segment_docs=64, block_size=16)
+    schema = (
+        "doc_id STRING, text STRING, metadata MAP<STRING,STRING>, "
+        "token_ids ARRAY<INT>, weights ARRAY<FLOAT>"
+    )
+    rng = np.random.default_rng(55)
+
+    def mk(i):
+        n = int(rng.integers(5, 20))
+        ids = sorted(int(x) for x in rng.choice(300, size=n, replace=False))
+        w = [float(x) for x in rng.uniform(0.01, 2.0, size=n).astype(np.float32)]
+        return (f"doc_{i:03d}", None, None, ids, w)
+
+    base = [mk(i) for i in range(25)]
+    batch = [mk(i) for i in range(25, 40)]
+    q = vector_query_terms([3, 42, 250, 7], [1.0, 0.5, 2.0, 0.25])
+
+    def results(idx):
+        s = Searcher(spark, idx, vcfg)
+        return {
+            m: [(r["doc_id"], round(r["score"], 6)) for r in s.search(q, 20, method=m).collect()]
+            for m in ("sql", "wand")
+        }
+
+    clean = str(tmp_path / "vclean")
+    build_vector_index(spark, spark.createDataFrame(base, schema), clean, vcfg)
+    append_vector_documents(spark, clean, spark.createDataFrame(batch, schema), vcfg)
+
+    crashed = str(tmp_path / "vcrashed")
+    build_vector_index(spark, spark.createDataFrame(base, schema), crashed, vcfg)
+
+    def boom(cat, new_docs):
+        raise RuntimeError("injected vector crash")
+
+    monkeypatch.setattr(ap, "_commit_docs", boom)
+    with pytest.raises(RuntimeError, match="injected vector crash"):
+        append_vector_documents(spark, crashed, spark.createDataFrame(batch, schema), vcfg)
+    monkeypatch.undo()
+
+    assert IndexCatalog(crashed).manifest.data.get("pending_append")
+    out = append_vector_documents(spark, crashed, spark.createDataFrame(batch, schema), vcfg)
+    assert out["appended_docs"] == len(batch)
+    assert "pending_append" not in IndexCatalog(crashed).manifest.data
+    assert results(crashed) == results(clean)
