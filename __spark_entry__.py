@@ -136,7 +136,10 @@ ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0)
 SELECT doc_id, {mins} FROM ex GROUP BY doc_id"""
 
 
-def _sql_lsh_pairs() -> str:
+def _sql_lsh_ctes() -> str:
+    """Shared CTE chain ending in ``pairs`` (id_a < id_b) — consumed by the
+    lsh_candidates oracle and, further, by the recursive-CTE connected-
+    components oracle of ``dedup_clusters``."""
     bands_sql = []
     for b in range(BANDS):
         cols = " || ',' || ".join(
@@ -146,13 +149,34 @@ def _sql_lsh_pairs() -> str:
             f"SELECT doc_id, {b} AS band, md5({b}::VARCHAR || ',' || {cols}) AS bucket FROM sig"
         )
     banded = " UNION ALL ".join(bands_sql)
-    return f"""WITH {_TOK_CTE},{_SHINGLE_CTE},
+    return f"""{_TOK_CTE},{_SHINGLE_CTE},
 ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
 sig AS (SELECT doc_id, {', '.join(f"min({_sql_h64('s', str(j))}) AS h{j:02d}" for j in range(NUM_HASHES))}
         FROM ex GROUP BY doc_id),
-banded AS ({banded})
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+banded AS ({banded}),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+
+
+def _sql_lsh_pairs() -> str:
+    return f"WITH {_sql_lsh_ctes()}\nSELECT id_a, id_b FROM pairs"
+
+
+def _sql_dedup_clusters() -> str:
+    """Connected components over the LSH pairs as a recursive CTE: a label
+    c spreads from u to neighbor v only while c < v, so the component
+    minimum (smaller than every other member) reaches every node along
+    any path, states are finite (label < node), and min(comp) per node is
+    exactly the component's smallest doc_id — the same canonical-keeper
+    labeling ``ops.dedup.connected_components`` computes distributively."""
+    return f"""WITH RECURSIVE {_sql_lsh_ctes()},
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+walk(node, comp) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON w.node = e.u WHERE w.comp < e.v
+)
+SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node"""
 
 
 def _sql_simhash(bits: int = 32) -> str:
@@ -255,6 +279,16 @@ def q_lsh_candidates(spark, sf_dir):
     return dedup.minhash_lsh_candidates(
         _docs(spark, sf_dir), shingle_k=SHINGLE_K, num_hashes=NUM_HASHES, bands=BANDS
     )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS from the LSH candidate pairs: one row per
+    clustered doc, labeled with its component's min doc_id (the canonical
+    keeper) — ops.dedup.connected_components (min-label propagation with
+    pointer jumping, O(log n) rounds of joins)."""
+    pairs = q_lsh_candidates(spark, sf_dir)
+    cc = dedup.connected_components(pairs, src="id_a", dst="id_b")
+    return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
 
 def q_jaccard_pairs(spark, sf_dir):
@@ -453,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "lsh_candidates": q_lsh_candidates,
+        "dedup_clusters": q_dedup_clusters,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "quality_features": q_quality,
@@ -541,6 +576,7 @@ SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper
 FROM documents GROUP BY md5(text)""",
         "minhash_sigs": _sql_minhash_sig(),
         "lsh_candidates": _sql_lsh_pairs(),
+        "dedup_clusters": _sql_dedup_clusters(),
         "jaccard_pairs": f"""
 WITH {_TOK_CTE},{_SHINGLE_CTE},
 ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),

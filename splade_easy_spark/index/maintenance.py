@@ -568,7 +568,13 @@ def optimize_postings(
         "elapsed_sec": round(time.time() - t0, 3),
     }
     if rewritten_segs or rewritten_tbs:
+        # size/row lineage only: optimize runs periodically from the
+        # streaming sink — re-hashing the whole table per merge would be
+        # O(table bytes) through the driver (see manifest.file_lineage)
         man.record_stage(
-            "optimize", {"postings": "postings", "doc_terms": "doc_terms"}, metrics
+            "optimize",
+            {"postings": "postings", "doc_terms": "doc_terms"},
+            metrics,
+            checksum=False,
         )
     return metrics

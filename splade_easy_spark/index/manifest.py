@@ -42,23 +42,33 @@ def _hash_file(path: Path, chunk: int = 1 << 20) -> str:
     return h.hexdigest()
 
 
-def file_lineage(table_dir: Path) -> list[dict]:
+def file_lineage(table_dir: Path, checksum: bool = True) -> list[dict]:
     """Per-file lineage for every parquet data file under ``table_dir``
     (recursive — hive-partitioned tables have ``tb=.../part-*.parquet``).
     Hashed with a thread pool: sha256 releases the GIL, so lineage cost
-    scales with cores instead of being a serial commit tail."""
+    scales with cores instead of being a serial commit tail.
+
+    ``checksum=False`` records sizes/rows only (parquet footers + stat,
+    no data read): the right mode for FREQUENT maintenance commits like
+    ``optimize_postings`` — re-hashing a whole table per periodic merge
+    is O(table bytes) through one machine, while resume validation
+    (``verify_table``) only consults existence + size anyway; full sha256
+    stays on the one-time build/compact/reshard commits (the reference's
+    hash-per-shard-finalize analog, ``src/splade_easy/index.py:108-112``)."""
     from concurrent.futures import ThreadPoolExecutor
 
     files = sorted(table_dir.rglob("*.parquet"))
 
     def entry(p: Path) -> dict:
         meta = pq.read_metadata(p)
-        return {
+        out = {
             "file": str(p.relative_to(table_dir)),
             "bytes": p.stat().st_size,
             "rows": meta.num_rows,
-            "sha256": _hash_file(p),
         }
+        if checksum:
+            out["sha256"] = _hash_file(p)
+        return out
 
     if len(files) <= 2:
         return [entry(p) for p in files]
@@ -111,12 +121,17 @@ class Manifest:
         stage: str,
         tables: dict[str, str],
         metrics: dict | None = None,
+        checksum: bool = True,
     ) -> None:
         """Commit a completed stage: hash all its table files, record
-        lineage + metrics, atomically swap the manifest."""
+        lineage + metrics, atomically swap the manifest.  ``checksum=False``
+        for frequent maintenance commits (see ``file_lineage``)."""
         for name, rel in tables.items():
             tdir = self.index_dir / rel
-            self.data["tables"][name] = {"dir": rel, "files": file_lineage(tdir)}
+            self.data["tables"][name] = {
+                "dir": rel,
+                "files": file_lineage(tdir, checksum=checksum),
+            }
         self.data["stages"][stage] = {
             "tables": list(tables),
             "committed_at": time.time(),

@@ -234,3 +234,71 @@ def ngram_jaccard_pairs(
         )
     )
     return out.where(F.col("jaccard") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list → one row per
+    node: ``(node, comp)`` where ``comp`` is the smallest node id in the
+    component — the canonical-doc selection step that turns near-duplicate
+    PAIRS (LSH/Jaccard output) into dedup CLUSTERS ("keep min id per
+    component, drop the rest").
+
+    Algorithm: iterative min-label propagation with **pointer jumping**
+    (label ← label's label each round), the DataFrame rendering of the
+    classic MapReduce/Pregel CC — convergence in O(log n) rounds instead
+    of O(diameter).  Each round is two joins + one aggregation, all
+    JVM-side; lineage is truncated per round with ``localCheckpoint``
+    (an iterative plan otherwise grows a new join tree per round and
+    Catalyst re-optimizes the whole history every action).
+
+    Scale notes: the edge list is candidate pairs — orders of magnitude
+    smaller than the corpus by construction (LSH emits only colliding
+    pairs).  Near-dup components are shallow, so rounds ≈ 2–4 in
+    practice.  A pathological giant component skews the pointer-jump
+    join on its ``comp`` key; AQE's skew-join split handles it, and the
+    output itself (one row per node) stays balanced.  Raises after
+    ``max_iterations`` rather than silently returning partial labels.
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("comp")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr = edges.join(
+            labels.select(F.col("node").alias("v"), "comp"), "v"
+        ).select(F.col("u").alias("node"), "comp")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp ← comp's own label (comp is always a node:
+        # labels start as node ids and only ever take other nodes' values)
+        jump = new.select(F.col("node").alias("comp"), F.col("comp").alias("comp2"))
+        new = new.join(jump, "comp", "left").select(
+            "node", F.coalesce("comp2", "comp").alias("comp")
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "old"), "node")
+            .where(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds "
+        f"(pointer jumping converges in O(log n) — is the edge list adversarial?)"
+    )

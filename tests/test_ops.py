@@ -249,3 +249,52 @@ def test_ivf_topk_recall_and_exact_at_full_nprobe(spark):
     assert r2 <= r8
     assert r8 == 1.0  # all cells probed == exact
     assert r2 >= 0.5  # clustered blobs: 2/8 cells already cover most neighbors
+
+
+def test_connected_components_random_graphs(spark):
+    """connected_components == union-find ground truth on random graphs,
+    including chains (pointer-jump convergence), stars, singleton-free
+    output, and the empty edge list."""
+    import numpy as np
+
+    from splade_easy_spark.ops.dedup import connected_components
+
+    def union_find(edges):
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = np.random.default_rng(9)
+    cases = []
+    # random sparse graphs
+    for n, m in [(30, 20), (50, 60), (80, 40)]:
+        cases.append([
+            (f"d{int(a):03d}", f"d{int(b):03d}")
+            for a, b in rng.integers(0, n, size=(m, 2))
+            if a != b
+        ])
+    # a long chain (worst case for plain propagation)
+    cases.append([(f"c{i:03d}", f"c{i+1:03d}") for i in range(60)])
+    # a star plus an isolated pair
+    cases.append([("hub", f"s{i}") for i in range(25)] + [("x1", "x2")])
+
+    for edges in cases:
+        truth = union_find(edges)
+        df = spark.createDataFrame(edges, "id_a STRING, id_b STRING")
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(df, "id_a", "id_b").collect()
+        }
+        assert got == truth
+
+    empty = spark.createDataFrame([], "id_a STRING, id_b STRING")
+    assert connected_components(empty, "id_a", "id_b").count() == 0
