@@ -320,6 +320,23 @@ def q_language_id(spark, sf_dir):
     return textstats.language_id(_docs(spark, sf_dir))
 
 
+def q_curate_corpus(spark, sf_dir):
+    """Composed curation pipeline (ops.curate): quality ≥ 0.9 ∧ n_tokens ≥
+    20 ∧ pred_lang = 'en' ∧ near-dup-canonical (LSH pairs → connected
+    components → keep each component's min doc_id)."""
+    from splade_easy_spark.ops.curate import curate_corpus
+
+    return curate_corpus(
+        _docs(spark, sf_dir),
+        min_quality=0.9,
+        min_tokens=20,
+        lang="en",
+        shingle_k=SHINGLE_K,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     out = textstats.fingerprint(_docs(spark, sf_dir), keep=4)
     return out.where(F.size("fingerprint") >= 4).select(
@@ -492,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "quality_features": q_quality,
         "language_id": q_language_id,
+        "curate_corpus": q_curate_corpus,
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -626,6 +644,35 @@ SELECT doc_id,
        CASE WHEN best <= 0 THEN 'und' {lang_case} END AS pred_lang,
        round(best, 6) AS lang_score
 FROM best_t""",
+        "curate_corpus": f"""
+WITH RECURSIVE {_sql_lsh_ctes()},
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+walk(node, comp) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON w.node = e.u WHERE w.comp < e.v
+),
+clusters AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+qual AS (
+  SELECT d.doc_id, len(t.toks) AS n_tokens,
+  round(
+    least(len(t.toks)::DOUBLE / 20.0, 1.0) * 0.5
+    + (1.0 - least((CASE WHEN length(d.text) > 0
+         THEN length(regexp_replace(d.text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE / length(d.text)
+         ELSE 0.0 END) * 4.0, 1.0)) * 0.25
+    + (1.0 - least((CASE WHEN length(d.text) > 0
+         THEN length(regexp_replace(d.text, '[^A-Z]', '', 'g'))::DOUBLE / length(d.text)
+         ELSE 0.0 END) * 4.0, 1.0)) * 0.25, 6) AS quality
+  FROM documents d JOIN tok t USING (doc_id)
+),
+scored AS (SELECT doc_id, {lang_score_cols} FROM tok),
+best_t AS (SELECT doc_id, s_de, s_en, s_es, s_fr,
+           greatest(s_de, s_en, s_es, s_fr) AS best FROM scored),
+lang AS (SELECT doc_id, CASE WHEN best <= 0 THEN 'und' {lang_case} END AS pred_lang FROM best_t)
+SELECT q.doc_id, q.n_tokens, q.quality, l.pred_lang
+FROM qual q JOIN lang l USING (doc_id)
+WHERE q.quality >= 0.9 AND q.n_tokens >= 20 AND l.pred_lang = 'en'
+  AND q.doc_id NOT IN (SELECT node FROM clusters WHERE node <> comp)""",
         "fingerprint": f"""
 WITH {_TOK_CTE},{_SHINGLE_CTE},
 hashes AS (

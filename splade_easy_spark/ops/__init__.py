@@ -1,3 +1,3 @@
-from splade_easy_spark.ops import dedup, similarity, textstats, multimodal
+from splade_easy_spark.ops import curate, dedup, similarity, textstats, multimodal
 
-__all__ = ["dedup", "similarity", "textstats", "multimodal"]
+__all__ = ["curate", "dedup", "similarity", "textstats", "multimodal"]

@@ -31,10 +31,17 @@ def whitespace_token_count(text_col: Column) -> Column:
     return F.size(F.filter(F.split(text_col, r"\s+"), lambda t: F.length(t) > 0))
 
 
-def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-doc quality features + a composite [0,1] score:
     n_chars, n_tokens, mean token length, punctuation ratio, stopword
-    (en-marker) ratio, uppercase ratio."""
+    (en-marker) ratio, uppercase ratio.  ``passthrough`` carries extra
+    input columns into the output so composed pipelines (``ops.curate``)
+    chain feature stages in ONE projection instead of re-joining on id."""
     text = F.col(text_col)
     toks = tokenize(text)
     n_chars = F.length(text)
@@ -45,6 +52,7 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     safe = lambda num, den: F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
     out = df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         safe(F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)), n_tokens).alias("mean_tok_len"),
@@ -60,10 +68,16 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     return out.withColumn("quality", F.round(score, 6))
 
 
-def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def language_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic language ID: marker-word hit ratio per language, argmax
     with 'und' (undetermined) when nothing matches.  Deterministic argmax:
-    ties break by language code ascending."""
+    ties break by language code ascending.  ``passthrough`` as in
+    ``quality_features``."""
     toks = tokenize(F.col(text_col))
     n = F.size(toks)
     langs = sorted(LANG_MARKERS)
@@ -84,6 +98,7 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         pred = pred.when(scores[lang] == best, F.lit(lang))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         pred.alias("pred_lang"),
         F.round(best, 6).alias("lang_score"),
     )

@@ -298,3 +298,27 @@ def test_connected_components_random_graphs(spark):
 
     empty = spark.createDataFrame([], "id_a STRING, id_b STRING")
     assert connected_components(empty, "id_a", "id_b").count() == 0
+
+
+def test_curate_corpus_composition(spark):
+    """curate_corpus == the composition of its parts computed separately:
+    quality/length/language gates minus non-canonical near-dup members."""
+    from splade_easy_spark.ops.curate import curate_corpus
+    from splade_easy_spark.ops.dedup import connected_components, minhash_lsh_candidates
+    from splade_easy_spark.ops.textstats import language_id, quality_features
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r["doc_id"]: (r["n_tokens"], r["quality"], r["pred_lang"])
+           for r in curate_corpus(docs).collect()}
+
+    qf = {r["doc_id"]: (r["n_tokens"], r["quality"]) for r in quality_features(docs).collect()}
+    li = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    cc = connected_components(minhash_lsh_candidates(docs), "id_a", "id_b").collect()
+    dropped = {r["node"] for r in cc if r["node"] != r["comp"]}
+    expect = {
+        d: (qf[d][0], qf[d][1], li[d])
+        for d in qf
+        if qf[d][1] >= 0.9 and qf[d][0] >= 20 and li[d] == "en" and d not in dropped
+    }
+    assert got == expect
+    assert 0 < len(got) < docs.count()  # every gate discriminates somewhere
