@@ -11,6 +11,7 @@ points (``pyproject.toml:15-18``: ``ingest-dataset``, ``reshard``,
     python -m splade_easy_spark.cli compact --index ./idx
     python -m splade_easy_spark.cli reshard --index ./idx --segment-docs N --block-size N
     python -m splade_easy_spark.cli optimize --index ./idx        # merge appended runs/small files
+    python -m splade_easy_spark.cli curate  --input docs.parquet --output kept.parquet
 """
 
 from __future__ import annotations
@@ -34,6 +35,41 @@ def cmd_build(args) -> int:
     tx = spark.read.parquet(args.input)
     res = build_index(spark, tx, args.index, resume=args.resume)
     print(json.dumps(res.__dict__))
+    return 0
+
+
+def cmd_curate(args) -> int:
+    """Training-data curation over any (id, text) parquet table: quality ∧
+    length ∧ language gates + near-duplicate canonicalization
+    (ops.curate.curate_corpus); writes the surviving (id, n_tokens,
+    quality, pred_lang) rows and prints a JSON summary."""
+    from splade_easy_spark.ops.curate import curate_corpus
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    t0 = time.time()
+    kept = curate_corpus(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        min_quality=args.min_quality,
+        min_tokens=args.min_tokens,
+        lang=args.lang or None,
+    )
+    kept.write.mode("overwrite").parquet(args.output)
+    n_kept = spark.read.parquet(args.output).count()
+    n_in = docs.count()
+    print(
+        json.dumps(
+            {
+                "input_docs": n_in,
+                "kept_docs": n_kept,
+                "dropped": n_in - n_kept,
+                "output": args.output,
+                "elapsed_sec": round(time.time() - t0, 3),
+            }
+        )
+    )
     return 0
 
 
@@ -238,6 +274,16 @@ def main(argv: list[str] | None = None) -> int:
     rb = sub.add_parser("rollback-reshard")
     rb.add_argument("--index", required=True)
     rb.set_defaults(fn=cmd_rollback_reshard)
+
+    cu = sub.add_parser("curate")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--min-quality", type=float, default=0.9)
+    cu.add_argument("--min-tokens", type=int, default=20)
+    cu.add_argument("--lang", default="en", help="empty string disables the language gate")
+    cu.set_defaults(fn=cmd_curate)
 
     a = sub.add_parser("append")
     a.add_argument("--input", required=True)

@@ -116,3 +116,23 @@ def test_synth_id_ordinal_deterministic_pairing(spark, tmp_path):
         assert pairing(8) == p1, f"trial {trial}: doc_id↔metadata pairing unstable"
     # all copies kept distinct ids
     assert len({d for d, _ in p1}) == len(rows)
+
+
+def test_cli_curate(spark, tmp_path, capsys):
+    """curate verb: writes survivors, summary matches the library op."""
+    import json
+
+    from splade_easy_spark import cli
+    from splade_easy_spark.ops.curate import curate_corpus
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "kept")
+    assert cli.main(["curate", "--input", src, "--output", out]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    docs = spark.read.parquet(src)
+    expect = curate_corpus(docs)
+    assert summary["kept_docs"] == expect.count()
+    assert 0 < summary["kept_docs"] < summary["input_docs"]
+    kept = spark.read.parquet(out)
+    assert set(kept.columns) == {"doc_id", "n_tokens", "quality", "pred_lang"}
+    assert kept.count() == summary["kept_docs"]

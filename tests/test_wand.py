@@ -441,3 +441,114 @@ def test_cosine_batch_wand_equals_sql(corpus, spark):
         assert [d for d, _ in sql[qid]] == [d for d, _ in wand[qid]]
         for (_, a), (_, b) in zip(sql[qid], wand[qid]):
             assert abs(a - b) <= 1e-5 * max(1.0, abs(a))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _segment_case(draw):
+    """Random segment: terms with sorted unique doc subsets + weights,
+    random block size, query weights, tombstones, k."""
+    seg_docs = draw(st.integers(8, 96))
+    n_terms = draw(st.integers(1, 5))
+    terms = {}
+    for t in range(n_terms):
+        docs = sorted(
+            draw(
+                st.sets(st.integers(0, seg_docs - 1), min_size=1, max_size=seg_docs)
+            )
+        )
+        wts = [
+            draw(st.floats(0.01, 8.0, allow_nan=False)) for _ in docs
+        ]
+        terms[f"t{t}"] = list(zip(docs, wts))
+    qw = {
+        t: draw(st.floats(0.1, 4.0, allow_nan=False)) for t in terms
+    }
+    dead = sorted(draw(st.sets(st.integers(0, seg_docs - 1), max_size=seg_docs // 2)))
+    block_size = draw(st.integers(1, 8))
+    k = draw(st.integers(1, 6))
+    return seg_docs, terms, qw, dead, block_size, k
+
+
+def _truth(seg_docs, terms, qw, dead):
+    acc = np.zeros(seg_docs)
+    for t, posts in terms.items():
+        for d, w in posts:
+            acc[d] += qw[t] * np.float64(np.float32(w))
+    alive = np.ones(seg_docs, dtype=bool)
+    alive[dead] = False
+    return acc, alive
+
+
+def _check_exact(d_out, s_out, acc, alive, k):
+    """Kernel contract: every returned (doc, score) is the exact score of a
+    live doc; all k-boundary ties kept; every live doc strictly above the
+    smallest returned score is present."""
+    assert len(d_out) == len(set(int(x) for x in d_out))
+    for doc, score in zip(d_out, s_out):
+        assert alive[int(doc)]
+        assert abs(score - acc[int(doc)]) < 1e-6 * max(1.0, abs(acc[int(doc)]))
+    live_scores = sorted((acc[i] for i in np.flatnonzero(alive & (acc > 0))), reverse=True)
+    if not live_scores:
+        assert len(d_out) == 0
+        return
+    kth = live_scores[min(k, len(live_scores)) - 1]
+    returned = {int(x) for x in d_out}
+    for i in np.flatnonzero(alive & (acc > 0)):
+        if acc[i] > kth + 1e-9:
+            assert int(i) in returned
+    assert all(s >= kth - 1e-9 for s in s_out)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_segment_case())
+def test_score_segment_exactness_property(case):
+    """Property-based: the single-query kernel is exact (scores, tombstone
+    masking, tie retention) on arbitrary segments — hypothesis shrinks the
+    seeded randomized test's blind spots (1-posting terms, all-tied
+    weights, half-dead segments, block_size=1)."""
+    seg_docs, terms, qw, dead, block_size, k = case
+    g = _mk_rows(terms, block_size=block_size)
+    acc, alive = _truth(seg_docs, terms, qw, dead)
+    d, s, bt, bd = _score_segment(
+        g, qw, 0, seg_docs, k,
+        np.array(dead, dtype=np.int64) if dead else None,
+    )
+    assert bd <= bt
+    _check_exact(d, s, acc, alive, k)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_segment_case(), st.integers(1, 3))
+def test_batch_segment_exactness_property(case, n_queries):
+    """Property-based: the decode-once batch kernel matches the same
+    contract for every query in the batch (shared decode state must never
+    leak a previous query's accumulator)."""
+    from splade_easy_spark.query.wand import _batch_segment
+
+    seg_docs, terms, qw, dead, block_size, k = case
+    g = _mk_rows(terms, block_size=block_size)
+    tnames = sorted(terms)
+    queries = []
+    for qi in range(n_queries):
+        sub = tnames[qi % len(tnames):]  # varying term subsets per query
+        queries.append((f"q{qi}", sorted((t, qw[t]) for t in sub)))
+    out_q, out_d, out_s, bt, bd = _batch_segment(
+        g, queries, 0, seg_docs, k,
+        np.array(dead, dtype=np.int64) if dead else None,
+        "wts", "max_weight",
+    )
+    assert bd <= bt
+    per_q: dict = {}
+    for qid, doc, score in zip(out_q, out_d, out_s):
+        per_q.setdefault(qid, ([], []))
+        per_q[qid][0].append(doc)
+        per_q[qid][1].append(score)
+    for qid, qterms in queries:
+        sub_terms = {t: terms[t] for t, _ in qterms}
+        acc, alive = _truth(seg_docs, sub_terms, dict(qterms), dead)
+        d_out, s_out = per_q.get(qid, ([], []))
+        _check_exact(d_out, s_out, acc, alive, k)
