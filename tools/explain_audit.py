@@ -103,7 +103,7 @@ def main() -> None:
     )
     sections.append(
         (
-            "batch search_many — WAND path (shared lazy-decode kernel)",
+            "batch search_many — WAND path (decode-once batch kernel)",
             "ONE postings scan pruned to the UNION of all queries' term_ids "
             "(PushedFilters), one seg Exchange, one MapInPandas batch "
             "kernel (per-query work stays inside it — no per-query jobs, "
@@ -159,6 +159,18 @@ def main() -> None:
         )
     )
 
+    sections.append(
+        (
+            "curate_corpus — composed curation pipeline",
+            "quality+language features in ONE projection chain over a "
+            "single documents scan (no doc_id re-joins — WholeStageCodegen "
+            "Project over the scan); the near-dup drop list arrives from "
+            "the connected-components loop as a checkpointed RDD (Scan "
+            "ExistingRDD — lineage truncated per CC round) feeding a "
+            "left-anti BroadcastHashJoin; no CartesianProduct anywhere.",
+            formatted(entry.queries()["curate_corpus"](spark, sf_dir)),
+        )
+    )
     out = ["# EXPLAIN — headline physical plans", ""]
     out.append(
         "Generated by `python tools/explain_audit.py`; plans from the live "
