@@ -162,21 +162,27 @@ def _sql_lsh_pairs() -> str:
     return f"WITH {_sql_lsh_ctes()}\nSELECT id_a, id_b FROM pairs"
 
 
-def _sql_dedup_clusters() -> str:
-    """Connected components over the LSH pairs as a recursive CTE: a label
-    c spreads from u to neighbor v only while c < v, so the component
-    minimum (smaller than every other member) reaches every node along
-    any path, states are finite (label < node), and min(comp) per node is
-    exactly the component's smallest doc_id — the same canonical-keeper
-    labeling ``ops.dedup.connected_components`` computes distributively."""
-    return f"""WITH RECURSIVE {_sql_lsh_ctes()},
-edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+#: connected components over ``pairs`` as a recursive CTE, ending in
+#: ``clusters(node, comp)``: a label c spreads from u to neighbor v only
+#: while c < v, so the component minimum (smaller than every other member)
+#: reaches every node along any path, states are finite (label < node), and
+#: min(comp) per node is exactly the component's smallest doc_id — the same
+#: labeling ``ops.dedup.connected_components`` computes distributively.
+#: SHARED by the dedup_clusters and curate_corpus oracles (one copy, no
+#: silent drift between them).
+_CC_CTES = """edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
 walk(node, comp) AS (
   SELECT DISTINCT u, u FROM edges
   UNION
   SELECT e.v, w.comp FROM walk w JOIN edges e ON w.node = e.u WHERE w.comp < e.v
-)
-SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node"""
+),
+clusters AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)"""
+
+
+def _sql_dedup_clusters() -> str:
+    return f"""WITH RECURSIVE {_sql_lsh_ctes()},
+{_CC_CTES}
+SELECT node AS doc_id, comp AS cluster_id FROM clusters"""
 
 
 def _sql_simhash(bits: int = 32) -> str:
@@ -323,7 +329,7 @@ def q_language_id(spark, sf_dir):
 def q_curate_corpus(spark, sf_dir):
     """Composed curation pipeline (ops.curate): quality ≥ 0.9 ∧ n_tokens ≥
     20 ∧ pred_lang = 'en' ∧ near-dup-canonical (LSH pairs → connected
-    components → keep each component's min doc_id)."""
+    components → keep each component's min GATE-PASSING doc_id)."""
     from splade_easy_spark.ops.curate import curate_corpus
 
     return curate_corpus(
@@ -646,13 +652,7 @@ SELECT doc_id,
 FROM best_t""",
         "curate_corpus": f"""
 WITH RECURSIVE {_sql_lsh_ctes()},
-edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
-walk(node, comp) AS (
-  SELECT DISTINCT u, u FROM edges
-  UNION
-  SELECT e.v, w.comp FROM walk w JOIN edges e ON w.node = e.u WHERE w.comp < e.v
-),
-clusters AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+{_CC_CTES},
 qual AS (
   SELECT d.doc_id, len(t.toks) AS n_tokens,
   round(
@@ -668,11 +668,21 @@ qual AS (
 scored AS (SELECT doc_id, {lang_score_cols} FROM tok),
 best_t AS (SELECT doc_id, s_de, s_en, s_es, s_fr,
            greatest(s_de, s_en, s_es, s_fr) AS best FROM scored),
-lang AS (SELECT doc_id, CASE WHEN best <= 0 THEN 'und' {lang_case} END AS pred_lang FROM best_t)
-SELECT q.doc_id, q.n_tokens, q.quality, l.pred_lang
-FROM qual q JOIN lang l USING (doc_id)
-WHERE q.quality >= 0.9 AND q.n_tokens >= 20 AND l.pred_lang = 'en'
-  AND q.doc_id NOT IN (SELECT node FROM clusters WHERE node <> comp)""",
+lang AS (SELECT doc_id, CASE WHEN best <= 0 THEN 'und' {lang_case} END AS pred_lang FROM best_t),
+gated AS (
+  SELECT q.doc_id, q.n_tokens, q.quality, l.pred_lang
+  FROM qual q JOIN lang l USING (doc_id)
+  WHERE q.quality >= 0.9 AND q.n_tokens >= 20 AND l.pred_lang = 'en'
+),
+keepers AS (
+  SELECT c.comp, min(g.doc_id) AS keeper
+  FROM clusters c JOIN gated g ON g.doc_id = c.node GROUP BY c.comp
+)
+SELECT g.doc_id, g.n_tokens, g.quality, g.pred_lang
+FROM gated g
+LEFT JOIN clusters c ON g.doc_id = c.node
+LEFT JOIN keepers k ON c.comp = k.comp
+WHERE c.node IS NULL OR g.doc_id = k.keeper""",
         "fingerprint": f"""
 WITH {_TOK_CTE},{_SHINGLE_CTE},
 hashes AS (

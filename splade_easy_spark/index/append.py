@@ -120,6 +120,15 @@ def _repair_pending(spark: SparkSession, cat: IndexCatalog) -> dict | None:
         man.data["orphan_tombstones"] = True
     man.data["next_doc_int"] = max(int(man.data.get("next_doc_int") or 0), hi)
     man.data.pop("pending_append", None)
+    # record the repair as append activity: either branch means table files
+    # changed after the last stage commit (committed docs the crash never
+    # logged, or orphan runs + tombstones), so the manifest's per-file
+    # lineage must read as STALE to _fresh_lineage — without this entry
+    # stats()/optimize would trust pre-crash file lists
+    man.data.setdefault("appends", []).append(
+        {"repaired_range": [lo, hi], "docs_were_committed": bool(committed),
+         "at": time.time()}
+    )
     man.save()
     return {"repaired_range": [lo, hi], "docs_were_committed": bool(committed)}
 

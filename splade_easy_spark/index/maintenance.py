@@ -68,6 +68,21 @@ def heal_interrupted_swaps(index_dir: str | Path) -> list[str]:
     root = Path(index_dir)
     if not root.exists():
         return healed
+    # top-level table swaps (_swap_in, used by compact/reshard) have the
+    # same two-rename window: a crash leaves `<table>__old` holding the
+    # ONLY copy of the table while `<table>__rewrite` staging still exists
+    # — and _gc_rewrite_dirs deletes both unless the table is restored
+    # first.  Restore when the live dir is missing; a completed swap's
+    # leftover `__old` is deleted by the GC, not here (top-level `__old`
+    # dirs don't break reads the way nested partition dirs do).
+    for old in root.glob("*__old"):
+        live = old.with_name(old.name[: -len("__old")])
+        if not live.exists():
+            try:
+                old.rename(live)
+                healed.append(str(old))
+            except OSError:
+                pass
     for tdir in root.iterdir():
         if not tdir.is_dir() or tdir.name.endswith(("__rewrite", "__old", "__backup")):
             continue
@@ -82,6 +97,31 @@ def heal_interrupted_swaps(index_dir: str | Path) -> list[str]:
             except OSError:
                 pass  # read-only replica: the next maintenance run heals
     return healed
+
+
+def _swap_partition(live: Path, new: Path) -> bool:
+    """Per-partition swap used by ``optimize_postings``, tolerant of a
+    CONCURRENT reader's ``heal_interrupted_swaps`` (which runs at every
+    Searcher open): if a reader restores ``<part>__old`` to ``live``
+    between our two renames, the second rename fails — the pre-optimize
+    content is back in place (correct, just unmerged), so the staged
+    replacement for this partition is discarded and the caller skips it.
+    All rmtrees ignore errors for the same reason (the healer may delete
+    ``__old`` first).  Returns True when the swap landed."""
+    old = live.with_name(live.name + "__old")
+    if old.exists():
+        shutil.rmtree(old, ignore_errors=True)
+    try:
+        live.rename(old)
+    except OSError:
+        return False
+    try:
+        new.rename(live)
+    except OSError:
+        shutil.rmtree(old, ignore_errors=True)
+        return False
+    shutil.rmtree(old, ignore_errors=True)
+    return True
 
 
 def _gc_rewrite_dirs(cat: IndexCatalog) -> None:
@@ -520,17 +560,11 @@ def optimize_postings(
         )
         # per-partition swap: only the fragmented seg dirs move
         for s in frag_segs:
-            live = post_dir / f"seg={s}"
             new = staged / f"seg={s}"
             if not new.exists():
                 continue  # seg held only empty files — nothing to swap
-            old = post_dir / f"seg={s}__old"
-            if old.exists():
-                shutil.rmtree(old)
-            live.rename(old)
-            new.rename(live)
-            shutil.rmtree(old)
-            rewritten_segs += 1
+            if _swap_partition(post_dir / f"seg={s}", new):
+                rewritten_segs += 1
         shutil.rmtree(staged, ignore_errors=True)
 
     dt_dir = Path(cat.table_dir("doc_terms"))
@@ -548,17 +582,11 @@ def optimize_postings(
             .parquet(str(staged))
         )
         for t in frag_tbs:
-            live = dt_dir / f"tb={t}"
             new = staged / f"tb={t}"
             if not new.exists():
                 continue
-            old = dt_dir / f"tb={t}__old"
-            if old.exists():
-                shutil.rmtree(old)
-            live.rename(old)
-            new.rename(live)
-            shutil.rmtree(old)
-            rewritten_tbs += 1
+            if _swap_partition(dt_dir / f"tb={t}", new):
+                rewritten_tbs += 1
         shutil.rmtree(staged, ignore_errors=True)
 
     metrics = {

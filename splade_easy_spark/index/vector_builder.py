@@ -274,7 +274,16 @@ def append_vector_documents(
     if n_new_terms:
         if term_ids:
             # batch-new-vocabulary uniqueness gate (see index/append.py) —
-            # a raise here is crash-safe via the pending journal
+            # a raise here is crash-safe via the pending journal.  Checks
+            # BOTH within-batch duplicate ids and clashes vs the existing
+            # vocabulary, same as the text appender.
+            dup_in_batch = (
+                tstats_new.groupBy("term_id")
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
             clash = (
                 cat.read(spark, "term_stats")
                 .select("term_id", "term")
@@ -288,11 +297,12 @@ def append_vector_documents(
                 .limit(3)
                 .collect()
             )
-            if clash:
+            if dup_in_batch or clash:
                 pairs = [(r["term"], r["new_term"]) for r in clash]
                 raise ValueError(
-                    f"term_id collision on append (seed={id_seed}): {pairs}; "
-                    f"rebuild with a different IndexConfig.term_id_seed"
+                    f"term_id collision on append (seed={id_seed}): "
+                    f"{pairs or 'within batch-new terms'}; rebuild with a "
+                    f"different IndexConfig.term_id_seed"
                 )
         tstats_new.write.mode("append").parquet(cat.table_dir("term_stats"))
     # COMMIT POINT: docs last (crash before this line → the pending journal

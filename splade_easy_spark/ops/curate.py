@@ -10,9 +10,11 @@ Plan shape (and why it scales):
 * near-dup handling reuses the banded MinHash-LSH candidate pairs
   (never all-pairs) and ``connected_components`` (O(log n) rounds over
   the pair list, which is orders of magnitude smaller than the corpus);
-* the final anti-join removes every clustered doc EXCEPT its component's
-  min-id canonical — the drop list is component-members-minus-keepers,
-  small relative to the corpus, and AQE broadcast/skew handling applies.
+* each near-dup component retains exactly one gate-passing member (the
+  min doc_id among its SURVIVING members — a cluster never loses every
+  copy just because its absolute-min member failed a gate); the window
+  runs only over the gated-and-clustered subset, small relative to the
+  corpus.
 
 The whole thing is SQL-expressible, so the driver gate checks it
 value-exactly against DuckDB (quality CTE ⨝ language CTE, minus the
@@ -42,7 +44,18 @@ def curate_corpus(
     """Surviving documents with their curation features:
     ``(doc_id, n_tokens, quality, pred_lang)`` for every doc that passes
     the quality/length/language gates AND is either unclustered or its
-    near-dup component's canonical keeper (min doc_id)."""
+    near-dup component's canonical keeper.
+
+    The keeper is the min doc_id **among the component's gate-passing
+    members** — not the component's absolute min: if the absolute-min
+    member itself fails a gate, the cluster must still retain its best
+    surviving copy instead of silently losing every near-duplicate of a
+    good document.  Implemented as a window min over ``comp`` restricted
+    to the gated-and-clustered subset (one shuffle over that small
+    subset; unclustered docs never enter the window, so a null-comp skew
+    partition cannot form)."""
+    from pyspark.sql import Window
+
     feats = quality_features(df, id_col, text_col, passthrough=(text_col,))
     both = language_id(feats, id_col, text_col, passthrough=("n_tokens", "quality"))
     kept = both.where(
@@ -55,9 +68,15 @@ def curate_corpus(
         df, id_col, text_col, shingle_k=shingle_k, num_hashes=num_hashes, bands=bands
     )
     cc = connected_components(pairs, src="id_a", dst="id_b")
-    drop = cc.where(F.col("node") != F.col("comp")).select(
-        F.col("node").alias(id_col)
+    kept_cc = kept.join(
+        cc.select(F.col("node").alias(id_col), "comp"), id_col, "left"
     )
-    return kept.join(drop, id_col, "left_anti").select(
-        id_col, "n_tokens", "quality", "pred_lang"
+    out_cols = [id_col, "n_tokens", "quality", "pred_lang"]
+    unclustered = kept_cc.where(F.col("comp").isNull()).select(*out_cols)
+    survivors = (
+        kept_cc.where(F.col("comp").isNotNull())
+        .withColumn("_keeper", F.min(id_col).over(Window.partitionBy("comp")))
+        .where(F.col(id_col) == F.col("_keeper"))
+        .select(*out_cols)
     )
+    return unclustered.unionByName(survivors)

@@ -93,6 +93,17 @@ class Searcher:
         from splade_easy_spark.index.maintenance import heal_interrupted_swaps
 
         heal_interrupted_swaps(index_dir)
+        # likewise an append that crashed before its docs-last commit point
+        # leaves orphan postings that would SCORE (and occupy top-k slots,
+        # silently dropped at the docs join) until the next append repairs
+        # them — run the repair here too, so read-only workloads never see
+        # the window.  Free when no pending journal exists (a dict lookup);
+        # when one does, the repair tombstones the orphan range (one small
+        # probe + one batch-sized write).
+        if self.cat.manifest.data.get("pending_append"):
+            from splade_easy_spark.index.append import _repair_pending
+
+            _repair_pending(spark, self.cat)
         man_identity = self.cat.manifest.data.get("identity", {})
         ours = self.cat.config.identity()
         if man_identity and man_identity.get("analyzer_hash") != ours["analyzer_hash"]:

@@ -310,3 +310,135 @@ def test_vector_append_crash_before_commit_is_repaired(spark, tmp_path, monkeypa
     assert out["appended_docs"] == len(batch)
     assert "pending_append" not in IndexCatalog(crashed).manifest.data
     assert results(crashed) == results(clean)
+
+
+def test_searcher_open_repairs_pending_append(spark, tmp_path, monkeypatch):
+    """Read-only workloads must not see the crash window: opening a
+    Searcher on an index with a pending journal repairs it (orphan range
+    tombstoned) BEFORE any query, so results equal the pre-append index
+    and no top-k slot is wasted on an orphan (round-4 review fix)."""
+    import splade_easy_spark.index.append as ap
+
+    base = generate_transcripts(spark, num_convs=8, seed=61)
+    idx = str(tmp_path / "idx")
+    build_index(spark, base, idx, CFG)
+    base_snap = _snapshot(spark, idx)
+
+    def boom(cat, new_docs):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(ap, "_commit_docs", boom)
+    batch = generate_transcripts(spark, num_convs=3, seed=62).withColumn(
+        "conv_id", F.concat(F.lit("x"), F.col("conv_id"))
+    )
+    with pytest.raises(RuntimeError):
+        append_documents(spark, idx, batch, CFG)
+    monkeypatch.undo()
+    assert IndexCatalog(idx).manifest.data.get("pending_append")
+
+    # opening a Searcher (read path!) repairs; queries see the committed
+    # state only — identical to the index before the crashed append
+    assert _snapshot(spark, idx) == base_snap
+    assert "pending_append" not in IndexCatalog(idx).manifest.data
+
+    # and the re-delivered batch still lands cleanly afterwards
+    out = append_documents(spark, idx, batch, CFG)
+    assert out["appended_docs"] > 0
+
+
+def test_repair_marks_lineage_stale(spark, tmp_path, monkeypatch):
+    """The repair must register as append activity: after it runs, the
+    manifest's per-file lineage is STALE and stats()/optimize fall back to
+    the filesystem instead of trusting pre-crash file lists (round-4
+    review fix)."""
+    import splade_easy_spark.index.append as ap
+    from splade_easy_spark.index.maintenance import _fresh_lineage
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, generate_transcripts(spark, num_convs=6, seed=63), idx, CFG)
+    cat = IndexCatalog(idx, CFG)
+    assert _fresh_lineage(cat, "postings") is not None  # fresh after build
+
+    def boom(c, new_docs):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(ap, "_commit_docs", boom)
+    batch = generate_transcripts(spark, num_convs=2, seed=64).withColumn(
+        "conv_id", F.concat(F.lit("y"), F.col("conv_id"))
+    )
+    with pytest.raises(RuntimeError):
+        append_documents(spark, idx, batch, CFG)
+    monkeypatch.undo()
+
+    cat2 = IndexCatalog(idx, CFG)
+    assert _fresh_lineage(cat2, "postings") is None  # pending journal → stale
+    ap._repair_pending(spark, cat2)
+    cat3 = IndexCatalog(idx, CFG)
+    # repaired: journal gone, but the repair itself is append activity —
+    # orphan runs/tombstones exist that the recorded lineage doesn't know
+    assert "pending_append" not in cat3.manifest.data
+    assert _fresh_lineage(cat3, "postings") is None
+
+
+def test_optimize_tolerates_concurrent_heal(spark, tmp_path, monkeypatch):
+    """A reader's heal_interrupted_swaps restoring a partition BETWEEN the
+    optimizer's two renames must not abort optimize or corrupt the table:
+    the raced partition keeps its pre-optimize (correct) content and the
+    rest of the run completes (round-4 review fix)."""
+    idx, cfg = _fragmented_index(spark, tmp_path, "race")
+    before = _snapshot(spark, idx)
+
+    real_rename = Path.rename
+    raced = {}
+
+    def racing_rename(self, target):
+        res = real_rename(self, target)
+        t = str(target)
+        if t.endswith("__old") and "/postings/" in t and not raced:
+            raced["seg"] = t
+            # simulate the concurrent reader's heal: live dir restored
+            # from __old while the optimizer is between its two renames
+            shutil.copytree(t, str(self))
+        return res
+
+    monkeypatch.setattr(Path, "rename", racing_rename)
+    out = optimize_postings(spark, idx, cfg)
+    monkeypatch.undo()
+
+    assert raced, "race never triggered — fixture had no fragmented seg"
+    post_dir = Path(idx) / "postings"
+    assert not list(post_dir.glob("*__old"))
+    assert not post_dir.with_name("postings__rewrite").exists()
+    assert _snapshot(spark, idx) == before  # scores untouched either way
+    # a later, un-raced optimize still lands the merge
+    out2 = optimize_postings(spark, idx, cfg)
+    assert _snapshot(spark, idx) == before
+
+
+def test_table_swap_crash_window_heals(spark, tmp_path):
+    """compact/reshard's whole-table swap has the same two-rename window as
+    the per-partition one: a crash leaves `<table>__old` holding the ONLY
+    copy while `<table>__rewrite` staging exists — the GC must restore the
+    table before deleting either dir, not drop the data (round-4 fix)."""
+    idx = str(tmp_path / "idx")
+    build_index(spark, generate_transcripts(spark, num_convs=6, seed=71), idx, CFG)
+    before = _snapshot(spark, idx)
+
+    docs = Path(idx) / "docs"
+    # crash state: staged rewrite exists, live renamed away, second rename
+    # never ran
+    shutil.copytree(docs, docs.with_name("docs__rewrite"))
+    docs.rename(docs.with_name("docs__old"))
+    assert not docs.exists()
+
+    healed = heal_interrupted_swaps(idx)
+    assert healed and docs.exists()
+    assert _snapshot(spark, idx) == before
+
+    # the staging is GC'd by the next maintenance op without touching the
+    # restored table
+    compact(spark, idx, CFG)
+    assert docs.exists()
+    assert not docs.with_name("docs__rewrite").exists()
+    assert not docs.with_name("docs__old").exists()
+    assert _snapshot(spark, idx) == before

@@ -313,12 +313,43 @@ def test_curate_corpus_composition(spark):
 
     qf = {r["doc_id"]: (r["n_tokens"], r["quality"]) for r in quality_features(docs).collect()}
     li = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
-    cc = connected_components(minhash_lsh_candidates(docs), "id_a", "id_b").collect()
-    dropped = {r["node"] for r in cc if r["node"] != r["comp"]}
+    cc = {r["node"]: r["comp"] for r in
+          connected_components(minhash_lsh_candidates(docs), "id_a", "id_b").collect()}
+    gated = {d for d in qf if qf[d][1] >= 0.9 and qf[d][0] >= 20 and li[d] == "en"}
+    # keeper = min GATED member per component (a cluster whose absolute-min
+    # member failed a gate must still retain its best surviving copy)
+    keeper: dict = {}
+    for d in sorted(gated):
+        comp = cc.get(d)
+        if comp is not None:
+            keeper.setdefault(comp, d)
     expect = {
         d: (qf[d][0], qf[d][1], li[d])
-        for d in qf
-        if qf[d][1] >= 0.9 and qf[d][0] >= 20 and li[d] == "en" and d not in dropped
+        for d in gated
+        if cc.get(d) is None or keeper[cc[d]] == d
     }
     assert got == expect
     assert 0 < len(got) < docs.count()  # every gate discriminates somewhere
+
+
+def test_curate_cluster_keeps_best_survivor(spark):
+    """A near-dup cluster whose min-id member fails the gates must keep its
+    best gate-passing member, never lose every copy (round-4 review fix)."""
+    from splade_easy_spark.ops.curate import curate_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the quiet green forest before the morning light") * 2
+    rows = [
+        ("a_bad", good.upper()),           # near-dup of b_good, fails upper_ratio
+        ("b_good", good),                  # passes all gates
+        ("c_good", good + " indeed"),      # near-dup of b_good, passes
+        ("d_solo", "the house and the tree stand in the field with a road "
+                   "that runs to the river where the children play all day"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id STRING, text STRING")
+    kept = {r["doc_id"] for r in curate_corpus(df, min_quality=0.8, min_tokens=10).collect()}
+    # a_bad fails quality; b_good is the min-id GATED member of its cluster
+    assert "b_good" in kept, kept
+    assert "c_good" not in kept  # non-canonical near-dup
+    assert "a_bad" not in kept
+    assert "d_solo" in kept
