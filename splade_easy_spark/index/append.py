@@ -75,6 +75,40 @@ from splade_easy_spark.index.catalog import IndexCatalog, term_bucket_expr
 from splade_easy_spark.index.docids import assign_doc_ints
 
 
+def _assert_no_append_collisions(
+    spark: SparkSession, cat: IndexCatalog, new_terms: DataFrame, id_seed: int
+) -> None:
+    """Uniqueness gate for batch-new vocabulary, shared by the text and
+    vector appenders (the append-time analog of the build's
+    ``_assert_no_term_id_collisions``): refuses both within-batch duplicate
+    term_ids and clashes against the existing vocabulary.  One
+    column-pruned O(vocab) scan, paid ONLY by batches that introduce
+    terms — steady-state appends never reach it.  A raise here is
+    crash-safe: the pending_append journal tombstones the batch's
+    already-written postings on the next attempt."""
+    dup_in_batch = (
+        new_terms.groupBy("term_id").count().where(F.col("count") > 1).limit(1).count()
+    )
+    clash = (
+        cat.read(spark, "term_stats")
+        .select("term_id", "term")
+        .join(
+            F.broadcast(new_terms.select("term_id", F.col("term").alias("new_term"))),
+            "term_id",
+        )
+        .where(F.col("term") != F.col("new_term"))
+        .limit(3)
+        .collect()
+    )
+    if dup_in_batch or clash:
+        pairs = [(r["term"], r["new_term"]) for r in clash]
+        raise ValueError(
+            f"term_id collision on append (seed={id_seed}): "
+            f"{pairs or 'within batch-new terms'}; rebuild with a "
+            f"different IndexConfig.term_id_seed"
+        )
+
+
 def _commit_docs(cat: IndexCatalog, new_docs: DataFrame) -> None:
     """The batch's commit point (docs-last ordering, see module docstring).
     Factored out so crash tests can inject a failure exactly here."""
@@ -283,39 +317,7 @@ def append_documents(
     n_new_terms = new_terms.count()
     if n_new_terms:
         if term_ids:
-            # uniqueness gate for batch-new vocabulary (the append-time
-            # analog of the build's _assert_no_term_id_collisions): one
-            # column-pruned O(vocab) scan, paid ONLY by batches that
-            # introduce terms — steady-state appends skip it.  A raise
-            # here is crash-safe: the pending_append journal tombstones
-            # the batch's already-written postings on the next attempt.
-            dup_in_batch = (
-                new_terms.groupBy("term_id")
-                .count()
-                .where(F.col("count") > 1)
-                .limit(1)
-                .count()
-            )
-            clash = (
-                cat.read(spark, "term_stats")
-                .select("term_id", "term")
-                .join(
-                    F.broadcast(
-                        new_terms.select("term_id", F.col("term").alias("new_term"))
-                    ),
-                    "term_id",
-                )
-                .where(F.col("term") != F.col("new_term"))
-                .limit(3)
-                .collect()
-            )
-            if dup_in_batch or clash:
-                pairs = [(r["term"], r["new_term"]) for r in clash]
-                raise ValueError(
-                    f"term_id collision on append (seed={id_seed}): "
-                    f"{pairs or 'within batch-new terms'}; rebuild with a "
-                    f"different IndexConfig.term_id_seed"
-                )
+            _assert_no_append_collisions(spark, cat, new_terms, id_seed)
         new_terms.write.mode("append").parquet(cat.table_dir("term_stats"))
     # COMMIT POINT: docs last — the batch becomes visible to the dedupe
     # anti-join (and thus "exists") only once every other table is durable

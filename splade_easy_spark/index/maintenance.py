@@ -37,16 +37,43 @@ def _swap_in(cat: IndexCatalog, name: str, keep_old: bool = False) -> None:
     With ``keep_old`` the previous layout is retained as ``<name>__backup``
     for ``rollback_reshard`` — the analog of the reference's
     ``keep_originals`` renaming shards to ``.fb.backup``
-    (``src/splade_easy/reshard.py:22,102-115``)."""
+    (``src/splade_easy/reshard.py:22,102-115``).
+
+    Tolerates a concurrent reader's ``heal_interrupted_swaps`` (which runs
+    at every Searcher open and restores ``__old`` → live inside the
+    two-rename window): the second rename then fails, and the swap is
+    simply retried — the healer only acts while live is missing, so a
+    bounded retry wins the race.  On final failure the live dir is
+    restored from the moved-away copy and the error propagates (the
+    rewrite staging is left for the caller/GC)."""
     live = Path(cat.table_dir(name))
     new = live.with_name(live.name + "__rewrite")
     trash = live.with_name(live.name + ("__backup" if keep_old else "__old"))
-    if trash.exists():
-        shutil.rmtree(trash)
-    live.rename(trash)
-    new.rename(live)
-    if not keep_old:
-        shutil.rmtree(trash)
+    last_err: OSError | None = None
+    for _ in range(3):
+        if trash.exists():
+            shutil.rmtree(trash)
+        try:
+            live.rename(trash)
+        except OSError as e:
+            last_err = e
+            continue
+        try:
+            new.rename(live)
+        except OSError as e:
+            last_err = e
+            if not live.exists():  # not the healer: put the table back
+                try:
+                    trash.rename(live)
+                except OSError:
+                    pass
+            continue
+        if not keep_old:
+            shutil.rmtree(trash, ignore_errors=True)
+        return
+    raise RuntimeError(
+        f"table swap for {name!r} did not land after 3 attempts"
+    ) from last_err
 
 
 def heal_interrupted_swaps(index_dir: str | Path) -> list[str]:
@@ -75,14 +102,18 @@ def heal_interrupted_swaps(index_dir: str | Path) -> list[str]:
     # first.  Restore when the live dir is missing; a completed swap's
     # leftover `__old` is deleted by the GC, not here (top-level `__old`
     # dirs don't break reads the way nested partition dirs do).
-    for old in root.glob("*__old"):
-        live = old.with_name(old.name[: -len("__old")])
-        if not live.exists():
-            try:
-                old.rename(live)
-                healed.append(str(old))
-            except OSError:
-                pass
+    for suffix in ("__old", "__backup"):
+        for old in root.glob(f"*{suffix}"):
+            live = old.with_name(old.name[: -len(suffix)])
+            if not live.exists():
+                # live missing = the swap never completed; restore.  (A
+                # *completed* keep_old swap leaves __backup NEXT TO live
+                # for rollback_reshard — untouched here.)
+                try:
+                    old.rename(live)
+                    healed.append(str(old))
+                except OSError:
+                    pass
     for tdir in root.iterdir():
         if not tdir.is_dir() or tdir.name.endswith(("__rewrite", "__old", "__backup")):
             continue
@@ -118,7 +149,19 @@ def _swap_partition(live: Path, new: Path) -> bool:
     try:
         new.rename(live)
     except OSError:
-        shutil.rmtree(old, ignore_errors=True)
+        # two distinct causes: a concurrent heal restored `live` from
+        # `old` (then `old` is stale and safe to drop), or the rename
+        # failed for its own reasons with `live` still MISSING — in which
+        # case `old` holds the only copy and must be put back, never
+        # deleted (round-4 review: deleting unconditionally destroyed the
+        # partition on e.g. a transient EIO)
+        if live.exists():
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            try:
+                old.rename(live)
+            except OSError:
+                pass  # healer got there between our check and rename
         return False
     shutil.rmtree(old, ignore_errors=True)
     return True

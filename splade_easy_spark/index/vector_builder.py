@@ -273,37 +273,9 @@ def append_vector_documents(
     n_new_terms = tstats_new.count()
     if n_new_terms:
         if term_ids:
-            # batch-new-vocabulary uniqueness gate (see index/append.py) —
-            # a raise here is crash-safe via the pending journal.  Checks
-            # BOTH within-batch duplicate ids and clashes vs the existing
-            # vocabulary, same as the text appender.
-            dup_in_batch = (
-                tstats_new.groupBy("term_id")
-                .count()
-                .where(F.col("count") > 1)
-                .limit(1)
-                .count()
-            )
-            clash = (
-                cat.read(spark, "term_stats")
-                .select("term_id", "term")
-                .join(
-                    F.broadcast(
-                        tstats_new.select("term_id", F.col("term").alias("new_term"))
-                    ),
-                    "term_id",
-                )
-                .where(F.col("term") != F.col("new_term"))
-                .limit(3)
-                .collect()
-            )
-            if dup_in_batch or clash:
-                pairs = [(r["term"], r["new_term"]) for r in clash]
-                raise ValueError(
-                    f"term_id collision on append (seed={id_seed}): "
-                    f"{pairs or 'within batch-new terms'}; rebuild with a "
-                    f"different IndexConfig.term_id_seed"
-                )
+            from splade_easy_spark.index.append import _assert_no_append_collisions
+
+            _assert_no_append_collisions(spark, cat, tstats_new, id_seed)
         tstats_new.write.mode("append").parquet(cat.table_dir("term_stats"))
     # COMMIT POINT: docs last (crash before this line → the pending journal
     # tombstones the orphan range on the next append); same seam as the

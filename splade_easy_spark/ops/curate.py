@@ -50,10 +50,12 @@ def curate_corpus(
     members** — not the component's absolute min: if the absolute-min
     member itself fails a gate, the cluster must still retain its best
     surviving copy instead of silently losing every near-duplicate of a
-    good document.  Implemented as a window min over ``comp`` restricted
-    to the gated-and-clustered subset (one shuffle over that small
-    subset; unclustered docs never enter the window, so a null-comp skew
-    partition cannot form)."""
+    good document.  Implemented as ONE window min keyed on
+    ``coalesce(comp, doc_id)`` over the gated frame: unclustered docs get
+    their own doc_id as the key (singleton groups — they always survive
+    and cannot form a skewed null partition), clustered docs share their
+    component key.  Single pass over the gating lineage — no split/union
+    that would re-run the corpus-wide feature projection per branch."""
     from pyspark.sql import Window
 
     feats = quality_features(df, id_col, text_col, passthrough=(text_col,))
@@ -68,15 +70,10 @@ def curate_corpus(
         df, id_col, text_col, shingle_k=shingle_k, num_hashes=num_hashes, bands=bands
     )
     cc = connected_components(pairs, src="id_a", dst="id_b")
-    kept_cc = kept.join(
-        cc.select(F.col("node").alias(id_col), "comp"), id_col, "left"
-    )
-    out_cols = [id_col, "n_tokens", "quality", "pred_lang"]
-    unclustered = kept_cc.where(F.col("comp").isNull()).select(*out_cols)
-    survivors = (
-        kept_cc.where(F.col("comp").isNotNull())
-        .withColumn("_keeper", F.min(id_col).over(Window.partitionBy("comp")))
+    key = F.coalesce(F.col("comp"), F.col(id_col))
+    return (
+        kept.join(cc.select(F.col("node").alias(id_col), "comp"), id_col, "left")
+        .withColumn("_keeper", F.min(id_col).over(Window.partitionBy(key)))
         .where(F.col(id_col) == F.col("_keeper"))
-        .select(*out_cols)
+        .select(id_col, "n_tokens", "quality", "pred_lang")
     )
-    return unclustered.unionByName(survivors)

@@ -93,17 +93,20 @@ class Searcher:
         from splade_easy_spark.index.maintenance import heal_interrupted_swaps
 
         heal_interrupted_swaps(index_dir)
-        # likewise an append that crashed before its docs-last commit point
-        # leaves orphan postings that would SCORE (and occupy top-k slots,
-        # silently dropped at the docs join) until the next append repairs
-        # them — run the repair here too, so read-only workloads never see
-        # the window.  Free when no pending journal exists (a dict lookup);
-        # when one does, the repair tombstones the orphan range (one small
-        # probe + one batch-sized write).
-        if self.cat.manifest.data.get("pending_append"):
-            from splade_easy_spark.index.append import _repair_pending
-
-            _repair_pending(spark, self.cat)
+        # An append journal (pending_append) means doc_ints in [lo, hi) are
+        # NOT committed: either an append is in flight right now, or one
+        # crashed before its docs-last commit point and left orphan
+        # postings that would score, occupy top-k slots, and silently drop
+        # at the docs join.  Readers must not "repair" (a concurrent
+        # HEALTHY append would have its whole batch tombstoned, and
+        # read-only replicas can't write) — instead this searcher simply
+        # EXCLUDES the journaled range from its plans (pushed range
+        # predicates below): snapshot semantics, no writes, no race.  The
+        # writer's own _repair_pending remains the sole healer.
+        pend = self.cat.manifest.data.get("pending_append")
+        self._pending_range: tuple[int, int] | None = (
+            (int(pend["lo"]), int(pend["hi"])) if pend else None
+        )
         man_identity = self.cat.manifest.data.get("identity", {})
         ours = self.cat.config.identity()
         if man_identity and man_identity.get("analyzer_hash") != ours["analyzer_hash"]:
@@ -114,6 +117,13 @@ class Searcher:
         self.stats = self.cat.corpus_stats(spark)
         self.doc_terms = self.cat.read(spark, "doc_terms")
         self.docs = self.cat.read(spark, "docs")
+        if self._pending_range is not None:
+            lo, hi = self._pending_range
+            # orphan doc_terms rows lie entirely inside the journaled range
+            # (ranges are assigned exclusively per batch and never reused)
+            self.doc_terms = self.doc_terms.where(
+                ~F.col("doc_int").between(lo, hi - 1)
+            )
         # seed of the postings term_id hash (catalog.term_id_py) — recorded
         # at build; legacy pre-term_id indexes never recorded one, and the
         # WAND path detects their layout from the postings columns
@@ -135,6 +145,18 @@ class Searcher:
 
     def _deleted(self) -> DataFrame | None:
         return self.cat.read_deleted(self.spark)
+
+    def _postings(self) -> DataFrame:
+        post = self.cat.read(self.spark, "postings")
+        if self._pending_range is not None:
+            lo, hi = self._pending_range
+            # exclude orphan/in-flight block runs (see __init__): such runs
+            # pack doc_ints from the journaled range ONLY — committed
+            # blocks end below lo, later re-appended blocks start at hi,
+            # and no block ever spans the boundary — so this pushed range
+            # predicate removes exactly them
+            post = post.where(~((F.col("doc_min") >= lo) & (F.col("doc_max") < hi)))
+        return post
 
     def _scores(self, terms: list[tuple[str, float]], use_cosine: bool) -> DataFrame:
         """(doc_int, score) for all docs sharing ≥1 query term."""
@@ -218,7 +240,7 @@ class Searcher:
         if method == "wand":
             from splade_easy_spark.query.wand import wand_search_scores
 
-            postings = self.cat.read(self.spark, "postings")
+            postings = self._postings()
             if use_cosine and (
                 "nwts" not in postings.columns
                 or not self.cat.manifest.data.get("layout", {}).get("pack_cosine", True)
@@ -284,7 +306,7 @@ class Searcher:
         if method == "wand":
             from splade_easy_spark.query.wand import wand_search_many_scores
 
-            postings = self.cat.read(self.spark, "postings")
+            postings = self._postings()
             if use_cosine and (
                 "nwts" not in postings.columns
                 or not self.cat.manifest.data.get("layout", {}).get("pack_cosine", True)

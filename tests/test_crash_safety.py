@@ -312,11 +312,14 @@ def test_vector_append_crash_before_commit_is_repaired(spark, tmp_path, monkeypa
     assert results(crashed) == results(clean)
 
 
-def test_searcher_open_repairs_pending_append(spark, tmp_path, monkeypatch):
-    """Read-only workloads must not see the crash window: opening a
-    Searcher on an index with a pending journal repairs it (orphan range
-    tombstoned) BEFORE any query, so results equal the pre-append index
-    and no top-k slot is wasted on an orphan (round-4 review fix)."""
+def test_searcher_excludes_pending_range_without_writing(spark, tmp_path, monkeypatch):
+    """Read-only workloads must not see the crash window — AND must not
+    "repair" it either: a pending journal also exists during every healthy
+    in-flight append, so a reader that tombstoned the range would destroy
+    the batch being written (round-4 review).  The searcher instead
+    EXCLUDES the journaled doc_int range from its plans: queries equal the
+    committed-state index, the journal and orphan files are untouched
+    (writer remains the sole healer, read-only replicas stay read-only)."""
     import splade_easy_spark.index.append as ap
 
     base = generate_transcripts(spark, num_convs=8, seed=61)
@@ -336,14 +339,17 @@ def test_searcher_open_repairs_pending_append(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     assert IndexCatalog(idx).manifest.data.get("pending_append")
 
-    # opening a Searcher (read path!) repairs; queries see the committed
-    # state only — identical to the index before the crashed append
+    # queries see the committed state only (orphans excluded via pushed
+    # range predicates) — and NOTHING was written: journal intact, no
+    # tombstone table appeared
     assert _snapshot(spark, idx) == base_snap
-    assert "pending_append" not in IndexCatalog(idx).manifest.data
+    assert IndexCatalog(idx).manifest.data.get("pending_append")
+    assert not Path(idx, "deleted").exists()
 
-    # and the re-delivered batch still lands cleanly afterwards
+    # the writer's re-delivered batch heals and lands cleanly afterwards
     out = append_documents(spark, idx, batch, CFG)
     assert out["appended_docs"] > 0
+    assert "pending_append" not in IndexCatalog(idx).manifest.data
 
 
 def test_repair_marks_lineage_stale(spark, tmp_path, monkeypatch):
