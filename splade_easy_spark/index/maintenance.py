@@ -229,6 +229,18 @@ def _pack_layout(cat: IndexCatalog) -> tuple[dict, str]:
     )
 
 
+def _repair_pending_for_maintenance(spark: SparkSession, cat: IndexCatalog) -> None:
+    """Maintenance ops are writer-side: heal a crashed append BEFORE
+    rewriting anything.  Without this, optimize/compact would merge orphan
+    runs into blocks that SPAN the journaled doc_int range, breaking the
+    reader-side exclusion predicate's no-spanning invariant (which only
+    needs to hold while the journal exists — once the repair tombstones
+    the orphans, exact doc_int masking takes over and spanning is fine)."""
+    from splade_easy_spark.index.append import _repair_pending
+
+    _repair_pending(spark, cat)
+
+
 def delete(spark: SparkSession, index_dir: str, doc_ids: list[str]) -> int:
     """Soft delete: tombstone rows (doc_id, doc_int) appended to the
     ``deleted`` table; read paths anti-join against it.  Returns the number
@@ -251,6 +263,7 @@ def compact(spark: SparkSession, index_dir: str, config: IndexConfig | None = No
     Weights/statistics frozen (see module docstring)."""
     cat = IndexCatalog(index_dir, config)
     cfg = cat.config
+    _repair_pending_for_maintenance(spark, cat)
     deleted = cat.read_deleted(spark)
     t0 = time.time()
     _gc_rewrite_dirs(cat)
@@ -311,6 +324,7 @@ def reshard(
     restores it.  Returns before/after layout stats."""
     cat = IndexCatalog(index_dir, config)
     cfg = cat.config
+    _repair_pending_for_maintenance(spark, cat)
     t0 = time.time()
     _gc_rewrite_dirs(cat)
     parts = target_partitions or cfg.build_partitions
@@ -468,6 +482,7 @@ def optimize_postings(
     from splade_easy_spark.index.postings import pack_postings, varbyte_decode
 
     cat = IndexCatalog(index_dir, config)
+    _repair_pending_for_maintenance(spark, cat)
     man = cat.manifest
     layout = man.data.get("layout", {})
     block_size = int(layout.get("block_size", cat.config.block_size))

@@ -120,10 +120,15 @@ class Searcher:
         if self._pending_range is not None:
             lo, hi = self._pending_range
             # orphan doc_terms rows lie entirely inside the journaled range
-            # (ranges are assigned exclusively per batch and never reused)
+            # (ranges are assigned exclusively per batch and never reused);
+            # docs is filtered too so point lookups agree with search (a
+            # crash between the docs write and the manifest save leaves
+            # committed-but-unacknowledged docs in the range — one
+            # consistent "batch not acknowledged" view for all read paths)
             self.doc_terms = self.doc_terms.where(
                 ~F.col("doc_int").between(lo, hi - 1)
             )
+            self.docs = self.docs.where(~F.col("doc_int").between(lo, hi - 1))
         # seed of the postings term_id hash (catalog.term_id_py) — recorded
         # at build; legacy pre-term_id indexes never recorded one, and the
         # WAND path detects their layout from the postings columns

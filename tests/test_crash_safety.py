@@ -448,3 +448,38 @@ def test_table_swap_crash_window_heals(spark, tmp_path):
     assert not docs.with_name("docs__rewrite").exists()
     assert not docs.with_name("docs__old").exists()
     assert _snapshot(spark, idx) == before
+
+
+def test_maintenance_on_crashed_index_repairs_first(spark, tmp_path, monkeypatch):
+    """Maintenance ops are writer-side: running optimize directly on a
+    crashed index (no append in between) must repair the journal BEFORE
+    rewriting — otherwise orphan runs would merge into blocks spanning the
+    journaled range and defeat the reader-side exclusion predicate."""
+    import splade_easy_spark.index.append as ap
+    from splade_easy_spark.index.maintenance import optimize_postings
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, generate_transcripts(spark, num_convs=8, seed=81), idx, CFG)
+    base_snap = _snapshot(spark, idx)
+
+    def boom(cat, new_docs):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(ap, "_commit_docs", boom)
+    batch = generate_transcripts(spark, num_convs=3, seed=82).withColumn(
+        "conv_id", F.concat(F.lit("z"), F.col("conv_id"))
+    )
+    with pytest.raises(RuntimeError):
+        append_documents(spark, idx, batch, CFG)
+    monkeypatch.undo()
+    assert IndexCatalog(idx).manifest.data.get("pending_append")
+
+    optimize_postings(spark, idx, CFG, min_files=1)
+    man = IndexCatalog(idx).manifest.data
+    assert "pending_append" not in man  # repair ran at maintenance entry
+    # post-repair correctness comes from exact tombstone masking, so even
+    # merged (possibly boundary-spanning) blocks score correctly
+    assert _snapshot(spark, idx) == base_snap
+    # and the re-delivered batch lands cleanly on the optimized index
+    out = append_documents(spark, idx, batch, CFG)
+    assert out["appended_docs"] > 0
