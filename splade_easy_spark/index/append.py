@@ -344,6 +344,10 @@ def refresh_stats(spark: SparkSession, index_dir: str, config: IndexConfig | Non
     from splade_easy_spark.index.builder import _stage_postings, _stage_stats, _STAGE_TABLES
 
     cat = IndexCatalog(index_dir, config)
+    # writer-side op: heal a crashed append first — rebuilding postings
+    # over a journaled range would pack blocks spanning it and defeat the
+    # reader-side exclusion predicate (see maintenance._repair_pending_for_maintenance)
+    _repair_pending(spark, cat)
     t0 = time.time()
     m1 = _stage_stats(spark, cat)
     cat.manifest.record_stage("stats", {t: t for t in _STAGE_TABLES["stats"]}, m1)

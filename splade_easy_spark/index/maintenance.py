@@ -51,8 +51,22 @@ def _swap_in(cat: IndexCatalog, name: str, keep_old: bool = False) -> None:
     trash = live.with_name(live.name + ("__backup" if keep_old else "__old"))
     last_err: OSError | None = None
     for _ in range(3):
+        # trash may hold the ONLY copy of the table if a previous attempt's
+        # restore failed (or a prior crash) — never delete it while live is
+        # missing; restore it instead so every retry starts from a live dir
         if trash.exists():
-            shutil.rmtree(trash)
+            if not live.exists():
+                try:
+                    trash.rename(live)
+                except OSError as e:
+                    last_err = e
+                    continue
+            else:
+                try:
+                    shutil.rmtree(trash)
+                except OSError as e:
+                    last_err = e
+                    continue
         try:
             live.rename(trash)
         except OSError as e:
@@ -71,6 +85,12 @@ def _swap_in(cat: IndexCatalog, name: str, keep_old: bool = False) -> None:
         if not keep_old:
             shutil.rmtree(trash, ignore_errors=True)
         return
+    # leave the table live if at all possible before giving up
+    if not live.exists() and trash.exists():
+        try:
+            trash.rename(live)
+        except OSError:
+            pass
     raise RuntimeError(
         f"table swap for {name!r} did not land after 3 attempts"
     ) from last_err
@@ -379,7 +399,14 @@ def rollback_reshard(index_dir: str) -> dict:
             continue
         if live.exists():
             shutil.rmtree(live)
-        bak.rename(live)
+        try:
+            bak.rename(live)
+        except OSError:
+            # a concurrent reader's heal_interrupted_swaps saw live missing
+            # (our rmtree window) and restored the backup itself — that IS
+            # the rollback; anything else is a real failure
+            if not live.exists():
+                raise
         restored.append(t)
     if not restored:
         raise FileNotFoundError(f"no __backup dirs under {index_dir} to roll back")

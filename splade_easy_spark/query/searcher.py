@@ -93,20 +93,21 @@ class Searcher:
         from splade_easy_spark.index.maintenance import heal_interrupted_swaps
 
         heal_interrupted_swaps(index_dir)
-        # An append journal (pending_append) means doc_ints in [lo, hi) are
-        # NOT committed: either an append is in flight right now, or one
-        # crashed before its docs-last commit point and left orphan
-        # postings that would score, occupy top-k slots, and silently drop
-        # at the docs join.  Readers must not "repair" (a concurrent
-        # HEALTHY append would have its whole batch tombstoned, and
-        # read-only replicas can't write) — instead this searcher simply
-        # EXCLUDES the journaled range from its plans (pushed range
-        # predicates below): snapshot semantics, no writes, no race.  The
-        # writer's own _repair_pending remains the sole healer.
-        pend = self.cat.manifest.data.get("pending_append")
-        self._pending_range: tuple[int, int] | None = (
-            (int(pend["lo"]), int(pend["hi"])) if pend else None
-        )
+        # SNAPSHOT BOUND: this searcher serves the index as of open.
+        # doc_ints are assigned densely from the manifest's next_doc_int
+        # watermark, so every doc_int ≥ the watermark at open belongs to a
+        # batch that was not yet acknowledged then: a crashed append's
+        # orphans (pending_append journal present — next_doc_int still
+        # points at the journaled lo), an append in flight RIGHT NOW, or
+        # one that starts after open (whose files a same-session reader
+        # could otherwise pick up mid-write via refreshByPath relisting).
+        # A pushed `doc_int < watermark` predicate on every read path
+        # excludes all three uniformly — no writes, no repair race with a
+        # healthy writer, works on read-only replicas.  The writer's own
+        # _repair_pending remains the sole healer.  Pre-watermark indexes
+        # (none built since round 2) read unbounded, as before.
+        snap = self.cat.manifest.data.get("next_doc_int")
+        self._snapshot_max: int | None = int(snap) if snap is not None else None
         man_identity = self.cat.manifest.data.get("identity", {})
         ours = self.cat.config.identity()
         if man_identity and man_identity.get("analyzer_hash") != ours["analyzer_hash"]:
@@ -117,18 +118,14 @@ class Searcher:
         self.stats = self.cat.corpus_stats(spark)
         self.doc_terms = self.cat.read(spark, "doc_terms")
         self.docs = self.cat.read(spark, "docs")
-        if self._pending_range is not None:
-            lo, hi = self._pending_range
-            # orphan doc_terms rows lie entirely inside the journaled range
-            # (ranges are assigned exclusively per batch and never reused);
-            # docs is filtered too so point lookups agree with search (a
-            # crash between the docs write and the manifest save leaves
-            # committed-but-unacknowledged docs in the range — one
-            # consistent "batch not acknowledged" view for all read paths)
+        if self._snapshot_max is not None:
+            # one consistent as-of-open view for ALL read paths (search,
+            # point get, doc_vector): un-acknowledged rows never score,
+            # never occupy a top-k slot, never surface in lookups
             self.doc_terms = self.doc_terms.where(
-                ~F.col("doc_int").between(lo, hi - 1)
+                F.col("doc_int") < self._snapshot_max
             )
-            self.docs = self.docs.where(~F.col("doc_int").between(lo, hi - 1))
+            self.docs = self.docs.where(F.col("doc_int") < self._snapshot_max)
         # seed of the postings term_id hash (catalog.term_id_py) — recorded
         # at build; legacy pre-term_id indexes never recorded one, and the
         # WAND path detects their layout from the postings columns
@@ -153,14 +150,15 @@ class Searcher:
 
     def _postings(self) -> DataFrame:
         post = self.cat.read(self.spark, "postings")
-        if self._pending_range is not None:
-            lo, hi = self._pending_range
-            # exclude orphan/in-flight block runs (see __init__): such runs
-            # pack doc_ints from the journaled range ONLY — committed
-            # blocks end below lo, later re-appended blocks start at hi,
-            # and no block ever spans the boundary — so this pushed range
-            # predicate removes exactly them
-            post = post.where(~((F.col("doc_min") >= lo) & (F.col("doc_max") < hi)))
+        if self._snapshot_max is not None:
+            # the snapshot bound at block grain: a block packs EITHER only
+            # pre-watermark doc_ints or only post-watermark ones — each
+            # append's runs pack its own exclusive id range, and writer-side
+            # maintenance ops repair any journal before merging runs, so no
+            # block ever spans the watermark while un-acknowledged rows
+            # exist.  `doc_max < watermark` therefore keeps exactly the
+            # committed blocks, as a pushed row-group predicate.
+            post = post.where(F.col("doc_max") < self._snapshot_max)
         return post
 
     def _scores(self, terms: list[tuple[str, float]], use_cosine: bool) -> DataFrame:
