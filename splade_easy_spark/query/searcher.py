@@ -151,14 +151,21 @@ class Searcher:
     def _postings(self) -> DataFrame:
         post = self.cat.read(self.spark, "postings")
         if self._snapshot_max is not None:
-            # the snapshot bound at block grain: a block packs EITHER only
-            # pre-watermark doc_ints or only post-watermark ones — each
-            # append's runs pack its own exclusive id range, and writer-side
-            # maintenance ops repair any journal before merging runs, so no
-            # block ever spans the watermark while un-acknowledged rows
-            # exist.  `doc_max < watermark` therefore keeps exactly the
-            # committed blocks, as a pushed row-group predicate.
-            post = post.where(F.col("doc_max") < self._snapshot_max)
+            # the snapshot bound at block grain, ROW-EXACT overall: drop
+            # blocks whose every doc is post-watermark (`doc_min >= W` —
+            # fresh append runs always open past the previous max, so an
+            # in-flight/crashed batch's runs are excluded here, pushed to
+            # parquet row-group stats), keep every block containing ANY
+            # pre-watermark doc, and let the kernel mask `doc_int >= W`
+            # after decode for blocks that SPAN the watermark.  Spanning
+            # blocks are legal: a concurrent optimize_postings merges the
+            # tail segment's runs — including runs appended after this
+            # reader opened — into blocks with doc_min < W <= doc_max, and
+            # `_postings()` relists files per search, so a long-lived
+            # reader does see them (round-4 used `doc_max < W` here and
+            # silently dropped those blocks' committed pre-snapshot
+            # postings; round-5 ADVICE high).
+            post = post.where(F.col("doc_min") < self._snapshot_max)
         return post
 
     def _scores(self, terms: list[tuple[str, float]], use_cosine: bool) -> DataFrame:
@@ -262,7 +269,7 @@ class Searcher:
             # masks them BEFORE the pruning threshold is computed
             scores = wand_search_scores(
                 self.spark, postings, terms, seg_docs, top_k, deleted, use_cosine,
-                term_id_seed=self.term_id_seed,
+                term_id_seed=self.term_id_seed, snapshot_max=self._snapshot_max,
             )
             if use_cosine:
                 # kernel scores are Σ qw·(w/‖d‖); divide the monotone
@@ -334,6 +341,7 @@ class Searcher:
                 deleted0,
                 use_cosine,
                 term_id_seed=self.term_id_seed,
+                snapshot_max=self._snapshot_max,
             )
             if use_cosine:
                 qnorms = [
@@ -439,13 +447,24 @@ class Searcher:
         (``src/splade_easy/retriever.py:204-213``); here the doc_id
         predicate pushes down to the parquet scan.
         """
-        deleted = self._deleted()
-        if deleted is not None and deleted.where(F.col("doc_id") == doc_id).limit(1).count() > 0:
-            return None
         cols = ["doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "doc_len", "doc_int"]
         if load_text:
             cols.append("text")
-        rows = self.docs.where(F.col("doc_id") == doc_id).select(*cols).limit(1).collect()
+        out = self.docs.where(F.col("doc_id") == doc_id).select(*cols)
+        deleted = self._deleted()
+        if deleted is not None:
+            # ONE Spark job per lookup: the tombstone check rides the fetch
+            # plan as a broadcast left_anti (mirrors get_batch) instead of a
+            # separate existence-count job — the pushed doc_id predicate on
+            # the tombstone scan keeps the broadcast side a handful of rows
+            out = out.join(
+                F.broadcast(
+                    deleted.where(F.col("doc_id") == doc_id).select("doc_id")
+                ),
+                "doc_id",
+                "left_anti",
+            )
+        rows = out.limit(1).collect()
         return rows[0].asDict() if rows else None
 
     def get_batch(self, doc_ids: list[str], load_text: bool = True) -> DataFrame:

@@ -168,11 +168,20 @@ def _score_segment(
     dead_local: np.ndarray | None = None,
     wcol: str = "wts",
     mcol: str = "max_weight",
+    wm_local: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int, int]:
     """Exact top-k for one segment.
 
     Returns (doc_ints, scores, blocks_total, blocks_decoded); ties at the
     k-boundary are all kept (caller's global order resolves them).
+
+    ``wm_local`` is the reader's as-of-open snapshot watermark in segment-
+    local coordinates: docs at local index >= wm_local belong to batches
+    not yet acknowledged when the reader opened and are masked exactly
+    like tombstones (they never touch θ, candidates, or the output).
+    Only blocks SPANNING the watermark reach here with post-watermark
+    docs — all-post-watermark blocks are dropped by the pushed
+    ``doc_min < W`` predicate (searcher._postings).
 
     Exactness invariant for block skipping: a block is only skipped when
     every doc in it provably cannot reach the final top-k — at the FIRST
@@ -190,6 +199,10 @@ def _score_segment(
     if dead_local is not None and len(dead_local):
         alive = np.ones(seg_docs, dtype=bool)
         alive[dead_local[(dead_local >= 0) & (dead_local < seg_docs)]] = False
+    if wm_local is not None and wm_local < seg_docs:
+        if alive is None:
+            alive = np.ones(seg_docs, dtype=bool)
+        alive[max(wm_local, 0):] = False
 
     # per term: blocks sorted by doc_min (non-overlapping ascending ranges —
     # pack_postings emits consecutive sorted runs; appended runs start past
@@ -358,9 +371,15 @@ def wand_search_scores(
     deleted: DataFrame | None = None,
     use_cosine: bool = False,
     term_id_seed: int = 0,
+    snapshot_max: int | None = None,
 ) -> DataFrame:
     """(doc_int, score) candidates: per-segment exact top-k via the pruned
     kernel, global merge left to the caller's orderBy/limit.
+
+    ``snapshot_max``: the reader's as-of-open watermark — docs with
+    ``doc_int >= snapshot_max`` are masked exactly in the kernel (blocks
+    merged across the watermark by a concurrent optimize are decoded and
+    row-filtered, never dropped whole; see searcher._postings).
 
     ``use_cosine`` runs the SAME kernel over the normalized weight stream
     (``nwts``/``max_nweight``: w/‖d‖ packed at build time) — cosine is then
@@ -389,8 +408,10 @@ def wand_search_scores(
         for seg, g in real.groupby("seg", sort=False):
             base = int(seg) * segment_docs
             dead = _dead_local(tomb, seg, base)
+            wm = None if snapshot_max is None else int(snapshot_max) - base
             d, s, _, _ = _score_segment(
-                g, b_qw.value, base, segment_docs, top_k, dead, wcol, mcol
+                g, b_qw.value, base, segment_docs, top_k, dead, wcol, mcol,
+                wm_local=wm,
             )
             if len(d):
                 yield pd.DataFrame({"doc_int": d, "score": s})
@@ -407,6 +428,7 @@ def wand_profile(
     deleted: DataFrame | None = None,
     use_cosine: bool = False,
     term_id_seed: int = 0,
+    snapshot_max: int | None = None,
 ) -> DataFrame:
     """Instrumented run: per-segment (blocks_total, blocks_decoded) for the
     same exact computation — the pruning-effectiveness probe behind the
@@ -431,8 +453,10 @@ def wand_profile(
         for seg, g in real.groupby("seg", sort=False):
             base = int(seg) * segment_docs
             dead = _dead_local(tomb, seg, base)
+            wm = None if snapshot_max is None else int(snapshot_max) - base
             _, _, total, decoded = _score_segment(
-                g, b_qw.value, base, segment_docs, top_k, dead, wcol, mcol
+                g, b_qw.value, base, segment_docs, top_k, dead, wcol, mcol,
+                wm_local=wm,
             )
             segs.append(int(seg))
             bt.append(total)
@@ -456,9 +480,11 @@ def _batch_segment(
     dead: np.ndarray | None,
     wcol: str,
     mcol: str,
+    wm_local: int | None = None,
 ) -> tuple[list, list, list, int, int]:
     """Exact batch top-k for one segment; shared by the live batch kernel
-    and the profile kernel.
+    and the profile kernel.  ``wm_local`` masks post-snapshot docs exactly
+    like tombstones (see ``_score_segment``).
 
     Returns (query_ids, doc_ints, scores, blocks_total, blocks_decoded).
 
@@ -494,6 +520,10 @@ def _batch_segment(
     if dead is not None and len(dead):
         alive = np.ones(segment_docs, dtype=bool)
         alive[dead[(dead >= 0) & (dead < segment_docs)]] = False
+    if wm_local is not None and wm_local < segment_docs:
+        if alive is None:
+            alive = np.ones(segment_docs, dtype=bool)
+        alive[max(wm_local, 0):] = False
 
     # per-term: block ranges (doc_min ascending, non-overlapping — see
     # _score_segment), packed buffers, decode slot, score upper bound
@@ -639,6 +669,7 @@ def wand_search_many_scores(
     deleted: DataFrame | None = None,
     use_cosine: bool = False,
     term_id_seed: int = 0,
+    snapshot_max: int | None = None,
 ) -> DataFrame:
     """Batch retrieval: (query_id, doc_int, score) per-segment top-k
     candidates for EVERY query in one pass.
@@ -666,8 +697,10 @@ def wand_search_many_scores(
         for seg, g in real.groupby("seg", sort=False):
             base = int(seg) * segment_docs
             dead = _dead_local(tomb, seg, base)
+            wm = None if snapshot_max is None else int(snapshot_max) - base
             out_q, out_d, out_s, _, _ = _batch_segment(
-                g, b_queries.value, base, segment_docs, top_k, dead, wcol, mcol
+                g, b_queries.value, base, segment_docs, top_k, dead, wcol, mcol,
+                wm_local=wm,
             )
             if out_q:
                 yield pd.DataFrame({"query_id": out_q, "doc_int": out_d, "score": out_s})
@@ -684,6 +717,7 @@ def wand_batch_profile(
     deleted: DataFrame | None = None,
     use_cosine: bool = False,
     term_id_seed: int = 0,
+    snapshot_max: int | None = None,
 ) -> DataFrame:
     """Instrumented batch run: per-segment (blocks_total, blocks_decoded)
     for the same exact computation — the probe behind the
@@ -704,8 +738,10 @@ def wand_batch_profile(
         for seg, g in real.groupby("seg", sort=False):
             base = int(seg) * segment_docs
             dead = _dead_local(tomb, seg, base)
+            wm = None if snapshot_max is None else int(snapshot_max) - base
             _, _, _, total, decoded = _batch_segment(
-                g, b_queries.value, base, segment_docs, top_k, dead, wcol, mcol
+                g, b_queries.value, base, segment_docs, top_k, dead, wcol, mcol,
+                wm_local=wm,
             )
             segs.append(int(seg))
             bt.append(total)

@@ -483,3 +483,177 @@ def test_maintenance_on_crashed_index_repairs_first(spark, tmp_path, monkeypatch
     # and the re-delivered batch lands cleanly on the optimized index
     out = append_documents(spark, idx, batch, CFG)
     assert out["appended_docs"] > 0
+
+
+def test_long_lived_reader_survives_optimize_merge_across_watermark(spark, tmp_path):
+    """Round-5 ADVICE high: a reader opened at watermark W keeps serving its
+    as-of-open snapshot even after a concurrent append COMMITS and a
+    concurrent optimize merges the tail segment's runs across W.  The
+    merged blocks have doc_min < W <= doc_max; the round-4 block-grain
+    predicate (doc_max < W) dropped them whole, silently losing committed
+    pre-snapshot postings for those terms — the fix keeps spanning blocks
+    (pushed doc_min < W) and masks doc_int >= W row-exactly in the kernel."""
+    idx = str(tmp_path / "idx")
+    build_index(spark, generate_transcripts(spark, num_convs=8, seed=91), idx, CFG)
+    reader = Searcher(spark, idx, CFG)  # snapshot W = next_doc_int at open
+    w = reader._snapshot_max
+    assert w is not None and w > 0
+    expected = {
+        q: [
+            (r["doc_id"], round(r["score"], 6))
+            for r in reader.search(q, 15, method="wand").collect()
+        ]
+        for q in QUERIES
+    }
+
+    batch = generate_transcripts(spark, num_convs=3, seed=92).withColumn(
+        "conv_id", F.concat(F.lit("w"), F.col("conv_id"))
+    )
+    assert append_documents(spark, idx, batch, CFG)["appended_docs"] > 0
+    optimize_postings(spark, idx, CFG, min_files=2)
+
+    # the merge must actually produce watermark-spanning blocks, or this
+    # test exercises nothing
+    post = spark.read.parquet(f"{idx}/postings")
+    spanning = post.where((F.col("doc_min") < w) & (F.col("doc_max") >= w)).count()
+    assert spanning > 0
+
+    # the long-lived reader relists postings per search and now sees the
+    # spanning blocks — results must still equal its as-of-open snapshot
+    for q in QUERIES:
+        got = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in reader.search(q, 15, method="wand").collect()
+        ]
+        assert got == expected[q]
+    # batch path through the same snapshot bound
+    many = reader.search_many(
+        [{"query_id": f"q{i}", "text": q} for i, q in enumerate(QUERIES)],
+        top_k=15,
+        method="wand",
+    ).collect()
+    for i, q in enumerate(QUERIES):
+        got = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in many
+            if r["query_id"] == f"q{i}"
+        ]
+        assert got == expected[q]
+    # a FRESH reader sees the appended docs (the snapshot is per-open, not
+    # a permanent ceiling)
+    fresh = Searcher(spark, idx, CFG)
+    assert fresh._snapshot_max > w
+
+
+def test_partial_docs_write_repaired_count_exact(spark, tmp_path, monkeypatch):
+    """Round-5 ADVICE medium: with v2/direct output committers a crash
+    mid-docs-write can leave a PARTIAL doc_int range.  The repair must not
+    declare the batch committed from mere existence: it counts distinct
+    doc_ints in [lo, hi) and tombstones exactly the ABSENT sub-range — the
+    present docs keep serving (docs + postings durable), the absent ids'
+    orphan postings never score, and the re-delivered batch restores
+    exactly the missing docs.  End state equals a never-crashed index."""
+    import splade_easy_spark.index.append as ap
+
+    base = generate_transcripts(spark, num_convs=8, seed=93)
+    batch = generate_transcripts(spark, num_convs=3, seed=94).withColumn(
+        "conv_id", F.concat(F.lit("p"), F.col("conv_id"))
+    )
+    clean = str(tmp_path / "clean")
+    build_index(spark, base, clean, CFG)
+    assert append_documents(spark, clean, batch, CFG)["appended_docs"] > 0
+
+    crashed = str(tmp_path / "crashed")
+    build_index(spark, base, crashed, CFG)
+    real_commit = ap._commit_docs
+
+    def partial_commit(cat, new_docs):
+        ids = sorted(r["doc_int"] for r in new_docs.select("doc_int").collect())
+        keep = ids[: len(ids) // 2]
+        real_commit(cat, new_docs.where(F.col("doc_int").isin(keep)))
+        raise RuntimeError("injected crash mid-docs-write")
+
+    monkeypatch.setattr(ap, "_commit_docs", partial_commit)
+    with pytest.raises(RuntimeError, match="mid-docs-write"):
+        append_documents(spark, crashed, batch, CFG)
+    monkeypatch.undo()
+
+    out = append_documents(spark, crashed, batch, CFG)
+    man = IndexCatalog(crashed).manifest.data
+    assert "pending_append" not in man
+    rep = [a for a in man["appends"] if "repaired_range" in a][0]
+    lo, hi = rep["repaired_range"]
+    assert rep["docs_were_committed"] is False
+    assert 0 < rep["docs_present"] < hi - lo
+    # exactly the absent half was re-appended under fresh ids
+    assert out["appended_docs"] == (hi - lo) - rep["docs_present"]
+
+    assert _snapshot(spark, crashed) == _snapshot(spark, clean)
+    assert stats(spark, crashed)["num_docs"] == stats(spark, clean)["num_docs"]
+
+
+def test_maintenance_crash_before_record_stage_marks_lineage_stale(
+    spark, tmp_path, monkeypatch
+):
+    """Round-5 ADVICE low: a crash after compact's swaps land but before
+    record_stage re-records lineage leaves the manifest describing the
+    PRE-rewrite files with no append entry to flag it.  The journaled
+    pending_maintenance marker makes _fresh_lineage distrust it, so
+    stats() counts the post-compact filesystem instead of ghosts."""
+    from splade_easy_spark.index.maintenance import _fresh_lineage, delete
+    from splade_easy_spark.index.manifest import Manifest
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, generate_transcripts(spark, num_convs=6, seed=95), idx, CFG)
+    n0 = stats(spark, idx)["num_docs"]
+    victims = [r["doc_id"] for r in spark.read.parquet(f"{idx}/docs").limit(5).collect()]
+    assert delete(spark, idx, victims) == 5
+
+    def boom(self, *a, **k):
+        raise RuntimeError("injected crash before stage commit")
+
+    monkeypatch.setattr(Manifest, "record_stage", boom)
+    with pytest.raises(RuntimeError, match="before stage commit"):
+        compact(spark, idx, CFG)
+    monkeypatch.undo()
+
+    cat = IndexCatalog(idx, CFG)
+    assert cat.manifest.data.get("pending_maintenance")
+    assert _fresh_lineage(cat, "docs") is None  # never trust pre-compact lineage
+    assert stats(spark, idx)["num_docs"] == n0 - 5  # counted from disk
+
+    # the next completed maintenance commit clears the marker
+    optimize_postings(spark, idx, CFG, min_files=1)
+    cat2 = IndexCatalog(idx, CFG)
+    assert "pending_maintenance" not in cat2.manifest.data
+    assert _fresh_lineage(cat2, "postings") is not None
+
+
+def test_seq_orders_equal_timestamp_events(spark, tmp_path):
+    """Round-5 ADVICE low: freshness must not depend on wall-clock order —
+    an append that lands the same instant as a stage commit (coarse
+    clocks, cross-host writers) must still mark lineage stale.  The
+    manifest's monotonic seq provides the order."""
+    from splade_easy_spark.index.maintenance import _fresh_lineage
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, generate_transcripts(spark, num_convs=4, seed=96), idx, CFG)
+    batch = generate_transcripts(spark, num_convs=2, seed=97).withColumn(
+        "conv_id", F.concat(F.lit("s"), F.col("conv_id"))
+    )
+    assert append_documents(spark, idx, batch, CFG)["appended_docs"] > 0
+    cat = IndexCatalog(idx, CFG)
+    man = cat.manifest
+    # forge the adversarial clock: the append's timestamp exactly equals
+    # every stage commit's (the old `at > committed_at` comparison called
+    # this fresh)
+    t = max(s["committed_at"] for s in man.data["stages"].values())
+    for a in man.data["appends"]:
+        a["at"] = t
+    for s in man.data["stages"].values():
+        s["committed_at"] = t
+    man.save()
+    cat2 = IndexCatalog(idx, CFG)
+    assert all("seq" in s for s in cat2.manifest.data["stages"].values())
+    assert all("seq" in a for a in cat2.manifest.data["appends"])
+    assert _fresh_lineage(cat2, "postings") is None

@@ -470,16 +470,21 @@ def _segment_case(draw):
     dead = sorted(draw(st.sets(st.integers(0, seg_docs - 1), max_size=seg_docs // 2)))
     block_size = draw(st.integers(1, 8))
     k = draw(st.integers(1, 6))
-    return seg_docs, terms, qw, dead, block_size, k
+    # as-of-open snapshot watermark in segment-local coordinates (None =
+    # no snapshot bound); docs >= wm must behave exactly like tombstones
+    wm = draw(st.one_of(st.none(), st.integers(0, seg_docs)))
+    return seg_docs, terms, qw, dead, block_size, k, wm
 
 
-def _truth(seg_docs, terms, qw, dead):
+def _truth(seg_docs, terms, qw, dead, wm=None):
     acc = np.zeros(seg_docs)
     for t, posts in terms.items():
         for d, w in posts:
             acc[d] += qw[t] * np.float64(np.float32(w))
     alive = np.ones(seg_docs, dtype=bool)
     alive[dead] = False
+    if wm is not None:
+        alive[wm:] = False
     return acc, alive
 
 
@@ -507,15 +512,17 @@ def _check_exact(d_out, s_out, acc, alive, k):
 @given(_segment_case())
 def test_score_segment_exactness_property(case):
     """Property-based: the single-query kernel is exact (scores, tombstone
-    masking, tie retention) on arbitrary segments — hypothesis shrinks the
-    seeded randomized test's blind spots (1-posting terms, all-tied
-    weights, half-dead segments, block_size=1)."""
-    seg_docs, terms, qw, dead, block_size, k = case
+    masking, snapshot-watermark masking, tie retention) on arbitrary
+    segments — hypothesis shrinks the seeded randomized test's blind spots
+    (1-posting terms, all-tied weights, half-dead segments, block_size=1,
+    watermarks splitting a block)."""
+    seg_docs, terms, qw, dead, block_size, k, wm = case
     g = _mk_rows(terms, block_size=block_size)
-    acc, alive = _truth(seg_docs, terms, qw, dead)
+    acc, alive = _truth(seg_docs, terms, qw, dead, wm)
     d, s, bt, bd = _score_segment(
         g, qw, 0, seg_docs, k,
         np.array(dead, dtype=np.int64) if dead else None,
+        wm_local=wm,
     )
     assert bd <= bt
     _check_exact(d, s, acc, alive, k)
@@ -529,7 +536,7 @@ def test_batch_segment_exactness_property(case, n_queries):
     leak a previous query's accumulator)."""
     from splade_easy_spark.query.wand import _batch_segment
 
-    seg_docs, terms, qw, dead, block_size, k = case
+    seg_docs, terms, qw, dead, block_size, k, wm = case
     g = _mk_rows(terms, block_size=block_size)
     tnames = sorted(terms)
     queries = []
@@ -540,6 +547,7 @@ def test_batch_segment_exactness_property(case, n_queries):
         g, queries, 0, seg_docs, k,
         np.array(dead, dtype=np.int64) if dead else None,
         "wts", "max_weight",
+        wm_local=wm,
     )
     assert bd <= bt
     per_q: dict = {}
@@ -549,6 +557,6 @@ def test_batch_segment_exactness_property(case, n_queries):
         per_q[qid][1].append(score)
     for qid, qterms in queries:
         sub_terms = {t: terms[t] for t, _ in qterms}
-        acc, alive = _truth(seg_docs, sub_terms, dict(qterms), dead)
+        acc, alive = _truth(seg_docs, sub_terms, dict(qterms), dead, wm)
         d_out, s_out = per_q.get(qid, ([], []))
         _check_exact(d_out, s_out, acc, alive, k)
