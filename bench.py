@@ -87,6 +87,26 @@ def main() -> None:
 
     tx_dir = tempfile.mkdtemp(prefix="bench_tx_", dir=tmp_root)
     try:
+        # Box-day calibration probe (round-4 VERDICT #2): a fixed pure-JVM
+        # whole-stage-codegen workload — sum(xxhash64(id) % 1000) over a
+        # constant range — recorded UNTIMED in extras.  The sandbox VM's
+        # throughput drifts ±25% across days/load-history (BENCH.md
+        # §envelope drift), so cross-round comparisons of absolute suite
+        # seconds conflate code with box: dividing any row by the ratio of
+        # box_probe_sec values separates them arithmetically.  No Python,
+        # no disk, no shuffle — the probe measures raw JVM compute only.
+        from pyspark.sql import functions as F
+
+        def _probe(n):
+            spark.range(0, n, 1, cpus).select(
+                F.sum(F.xxhash64("id") % 1000)
+            ).collect()
+
+        _probe(500_000_000)  # JIT warmup (first run measures the compiler)
+        t0 = time.time()
+        _probe(8_000_000_000)
+        extra["box_probe_sec"] = round(time.time() - t0, 3)
+
         # Materialize the synthetic input UNTIMED: the engine's contract is
         # an existing Iceberg/Parquet transcript table — input synthesis is
         # not build work.

@@ -192,6 +192,13 @@ def cmd_optimize(args) -> int:
     return 0
 
 
+def cmd_migrate(args) -> int:
+    from splade_easy_spark.index.maintenance import migrate_postings
+
+    print(json.dumps(migrate_postings(_spark(args), args.index)))
+    return 0
+
+
 def cmd_rollback_reshard(args) -> int:
     from splade_easy_spark.index.maintenance import rollback_reshard
 
@@ -270,6 +277,10 @@ def main(argv: list[str] | None = None) -> int:
     op.add_argument("--min-files", type=int, default=2)
     op.add_argument("--doc-terms-min-files", type=int, default=8)
     op.set_defaults(fn=cmd_optimize)
+
+    mg = sub.add_parser("migrate")
+    mg.add_argument("--index", required=True)
+    mg.set_defaults(fn=cmd_migrate)
 
     rb = sub.add_parser("rollback-reshard")
     rb.add_argument("--index", required=True)

@@ -515,6 +515,69 @@ def stats(spark: SparkSession, index_dir: str) -> dict:
     }
 
 
+def migrate_postings(
+    spark: SparkSession, index_dir: str, config: IndexConfig | None = None
+) -> dict:
+    """Weight-preserving migration of a legacy string-keyed postings table
+    to the int64 ``term_id`` layout (the round-4 analog of the reference's
+    token-id wire format, ``src/splade_easy/schema.fbs:14``).
+
+    ``refresh_stats`` also migrates, but re-derives corpus statistics and
+    therefore CHANGES weights on an appended index (that is its job).
+    This op is the pure layout move: postings are repacked from the
+    existing ``doc_terms`` weights, so scores are byte-identical before
+    and after (same float32 values through the same packer), and
+    ``term_stats`` gains the ``term_id`` column behind the build's exact
+    collision gate.  No-op on already-migrated indexes.  Subsequent
+    appends pack term_id-keyed blocks (the recorded layout flips)."""
+    from splade_easy_spark.index.builder import _assert_no_term_id_collisions
+    from splade_easy_spark.index.catalog import term_id_expr
+
+    cat = IndexCatalog(index_dir, config)
+    man = cat.manifest
+    lay = man.data.setdefault("layout", {})
+    if lay.get("postings_term_ids"):
+        return {"migrated": False, "reason": "already term_id layout"}
+    _repair_pending_for_maintenance(spark, cat)
+    _gc_rewrite_dirs(cat)
+    t0 = time.time()
+    seed = int(cat.config.term_id_seed)
+
+    ts = cat.read(spark, "term_stats")
+    if "term_id" in ts.columns:
+        ts = ts.drop("term_id")
+    ts = ts.withColumn("term_id", term_id_expr(F.col("term"), seed))
+    _assert_no_term_id_collisions(ts, seed)
+    ts.write.parquet(cat.table_dir("term_stats") + "__rewrite")
+
+    dt = cat.read(spark, "doc_terms")
+    # pre-nwts indexes have no norm column: migrate without the cosine
+    # stream (matching what the index could serve before)
+    pack_cosine = bool(lay.get("pack_cosine", cat.config.pack_cosine)) and (
+        "norm" in dt.columns
+    )
+    seg_docs = int(lay.get("segment_docs", cat.config.segment_docs))
+    bs = int(lay.get("block_size", cat.config.block_size))
+    sel = ["term", "doc_int", "weight"] + (["norm"] if "norm" in dt.columns else [])
+    packed = pack_doc_terms(
+        dt.select(*sel), seg_docs, bs,
+        pack_cosine=pack_cosine, term_ids=True, term_id_seed=seed,
+    ).sortWithinPartitions("term_id", "block_id")
+    packed.write.partitionBy("seg").parquet(cat.table_dir("postings") + "__rewrite")
+
+    _journal_maintenance(man, "migrate_postings")
+    for t in ["term_stats", "postings"]:
+        _swap_in(cat, t)
+    lay["postings_term_ids"] = True
+    lay["term_id_seed"] = seed
+    lay["pack_cosine"] = pack_cosine
+    metrics = {"elapsed_sec": round(time.time() - t0, 3)}
+    man.record_stage(
+        "migrate", {"term_stats": "term_stats", "postings": "postings"}, metrics
+    )
+    return {"migrated": True, **metrics}
+
+
 def optimize_postings(
     spark: SparkSession,
     index_dir: str,

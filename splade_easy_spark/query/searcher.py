@@ -313,8 +313,11 @@ class Searcher:
                 [], "query_id STRING, rank INT, doc_id STRING, score DOUBLE, conv_id STRING, turn_idx INT"
             )
         deleted0 = self._deleted()
-        if method == "wand":
-            from splade_easy_spark.query.wand import wand_search_many_scores
+        if method in ("wand", "wand_nox"):
+            from splade_easy_spark.query.wand import (
+                wand_search_many_scores,
+                wand_search_many_scores_nox,
+            )
 
             postings = self._postings()
             if use_cosine and (
@@ -322,7 +325,7 @@ class Searcher:
                 or not self.cat.manifest.data.get("layout", {}).get("pack_cosine", True)
             ):
                 method = "sql"  # no normalized stream: cosine via SQL path
-        if method == "wand":
+        if method in ("wand", "wand_nox"):
             qt = {
                 q["query_id"]: analyze_query(q["text"], self.config) for q in queries
             }
@@ -332,7 +335,15 @@ class Searcher:
                     "segment_docs", self.config.segment_docs
                 )
             )
-            cand = wand_search_many_scores(
+            # 'wand_nox' = the exchange-free variant: no repartition(seg),
+            # partial (query, doc) sums merged by groupBy — see
+            # wand.wand_search_many_scores_nox for the measured trade-off
+            batch_fn = (
+                wand_search_many_scores_nox
+                if method == "wand_nox"
+                else wand_search_many_scores
+            )
+            cand = batch_fn(
                 self.spark,
                 postings,
                 qt,

@@ -708,6 +708,161 @@ def wand_search_many_scores(
     return pruned.mapInPandas(kernel, schema="query_id STRING, doc_int LONG, score DOUBLE")
 
 
+def wand_search_many_scores_nox(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries_terms: dict[str, list[tuple[str, float]]],
+    segment_docs: int,
+    top_k: int = 10,
+    deleted: DataFrame | None = None,
+    use_cosine: bool = False,
+    term_id_seed: int = 0,
+    snapshot_max: int | None = None,
+) -> DataFrame:
+    """EXCHANGE-FREE batch scoring (the round-4 VERDICT #1 experiment).
+
+    Scores are additive over block runs, so the batch kernel does not
+    *need* segment colocation: this path runs the scatter kernel directly
+    on the scan output — term filter + column prune, **no
+    ``repartition(seg)``** — each task scores whatever postings blocks it
+    was handed and emits partial ``(query, doc_int, partial_score)`` sums;
+    a ``groupBy(query, doc_int).sum`` + per-query top-k above merges them
+    (the doc-grain partial frame is the thing shuffled, instead of the
+    postings blocks).
+
+    Trade-offs vs ``wand_search_many_scores`` (the colocated kernel):
+
+    * deleted: the ``repartition(seg)`` exchange AND its post-shuffle
+      Arrow hop — on the sandbox box exactly the stage the measured
+      0.48–0.54 IPC passthrough ceiling throttles;
+    * lost: per-query MaxScore term cuts and the per-segment top-k cut —
+      a task holding half a segment cannot prove anything about final
+      ranks, so EVERY matched posting is scattered and EVERY matched
+      (query, doc) pair leaves the kernel (k rows/query/segment for the
+      colocated kernel vs all-matched-docs/query here), then pays a
+      doc-grain shuffle the colocated path never does.
+
+    Exactness: trivially exact (no pruning anywhere).  Tombstones and the
+    snapshot watermark are row-grain filters on the summed frame — they
+    cannot ride a seg exchange that no longer exists, and masking AFTER
+    the sum is equivalent because masks are per-doc, not per-block.
+    Both paths are A/B'd by the 2→8 scaling harness; see BENCH.md."""
+    qids = sorted(queries_terms)
+    all_terms = sorted({t for ts in queries_terms.values() for t, _ in ts})
+    ids = _query_term_ids(all_terms, term_id_seed)
+    # inverted query map: term_id -> [(query index, qweight)] — the kernel
+    # scatters each decoded term ONCE per query carrying it
+    by_term: dict[int, list[tuple[int, float]]] = {}
+    for qi, qid in enumerate(qids):
+        for t, w in queries_terms[qid]:
+            by_term.setdefault(ids[t], []).append((qi, w))
+    b_by_term = spark.sparkContext.broadcast(by_term)
+    wcol = "nwts" if use_cosine else "wts"
+    mcol = "max_nweight" if use_cosine else "max_weight"
+    cols = ["seg", "term_id", "n", "doc_min", "doc_max", mcol, "docs", wcol]
+    if "term_id" in postings.columns:
+        pruned = postings.where(
+            F.col("term_id").isin([ids[t] for t in all_terms])
+        ).select(*cols)
+    else:
+        pruned = (
+            postings.where(F.col("term").isin(all_terms))
+            .withColumn("term_id", term_id_expr(F.col("term"), term_id_seed))
+            .select(*cols)
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        bt = b_by_term.value
+        acc = np.zeros(segment_docs, dtype=np.float64)
+        for seg, g in pdf.groupby("seg", sort=False):
+            base = int(seg) * segment_docs
+            wm = None if snapshot_max is None else int(snapshot_max) - base
+            # decode each term's blocks present in THIS task once, then
+            # scatter per carrying query into a dense per-segment acc
+            decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            for term, tg in g.groupby("term_id", sort=False):
+                parts = [
+                    unpack_block(d, w, int(n))
+                    for d, w, n in zip(tg["docs"], tg[wcol], tg["n"])
+                ]
+                idx = (
+                    np.concatenate([p[0] for p in parts])
+                    if len(parts) > 1
+                    else parts[0][0]
+                ) - base
+                wts = (
+                    np.concatenate([p[1] for p in parts])
+                    if len(parts) > 1
+                    else parts[0][1]
+                )
+                if wm is not None and wm < segment_docs:
+                    keep = idx < max(wm, 0)
+                    idx, wts = idx[keep], wts[keep]
+                if len(idx):
+                    decoded[int(term)] = (idx, wts)
+            # per-query partial sums over this task's fragment of the seg
+            per_q: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {}
+            for term, (idx, wts) in decoded.items():
+                for qi, qw in bt.get(term, ()):
+                    per_q.setdefault(qi, []).append((idx, qw * wts))
+            for qi, contribs in per_q.items():
+                if len(contribs) == 1:
+                    live, vals = contribs[0]
+                    out_d, out_s = live + base, vals
+                else:
+                    acc.fill(0.0)
+                    touched_parts = []
+                    for idx, vals in contribs:
+                        acc[idx] += vals
+                        touched_parts.append(idx)
+                    live = np.unique(np.concatenate(touched_parts))
+                    out_d, out_s = live + base, acc[live]
+                yield pd.DataFrame(
+                    {
+                        "q": np.full(len(out_d), qi, dtype=np.int32),
+                        "doc_int": out_d.astype(np.int64),
+                        "score": out_s.astype(np.float64),
+                    }
+                )
+
+    part = pruned.mapInPandas(kernel, schema="q INT, doc_int LONG, score DOUBLE")
+    scores = (
+        part.groupBy("q", "doc_int")
+        .agg(F.sum("score").alias("score"))
+        .where(F.col("score") > 0)
+    )
+    if deleted is not None:
+        scores = scores.join(
+            F.broadcast(deleted.select("doc_int")), "doc_int", "left_anti"
+        )
+    scores = scores.select("q", "doc_int", "score")
+    qmap = spark.createDataFrame(
+        list(enumerate(qids)), "q INT, query_id STRING"
+    )
+
+    # partial per-partition top-k before the caller's global window — the
+    # summed frame still holds EVERY matched doc per query (no per-segment
+    # cut exists on this path)
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        allp = pd.concat(parts, ignore_index=True)
+        allp = allp.sort_values(
+            ["q", "score", "doc_int"], ascending=[True, False, True]
+        )
+        yield allp.groupby("q", sort=False).head(top_k)
+
+    scores = scores.mapInPandas(
+        partial_topk, schema="q INT, doc_int LONG, score DOUBLE"
+    )
+    return scores.join(F.broadcast(qmap), "q").select("query_id", "doc_int", "score")
+
+
 def wand_batch_profile(
     spark: SparkSession,
     postings: DataFrame,

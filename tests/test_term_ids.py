@@ -155,3 +155,69 @@ def test_query_collision_gate_raises():
             w._query_term_ids(["a", "b"], 0)
     finally:
         w.term_id_py = orig
+
+
+def test_migrate_postings_weight_preserving(spark, tmp_path):
+    """migrate_postings is THE layout migration (round-4 VERDICT #6): a
+    legacy string-keyed index repacked to term_id keys must return
+    byte-identical WAND results (same float32 weights through the same
+    packer — unlike refresh_stats, which re-derives statistics), flip the
+    recorded layout so later appends pack term_id blocks, and add term_id
+    to term_stats."""
+    from splade_easy_spark.index.append import append_documents
+    from splade_easy_spark.index.maintenance import migrate_postings
+
+    legacy = _legacy_index(spark, tmp_path)
+    s0 = Searcher(spark, legacy, CFG)
+    before = {
+        q: [
+            (r["doc_id"], r["score"])
+            for r in s0.search(q, 20, method="wand").collect()
+        ]
+        for q in ["baba0 ceba1", "diba2 foba3 baba0"]
+    }
+    cos_before = [
+        (r["doc_id"], r["score"])
+        for r in s0.search("baba0 ceba1", 20, method="wand", use_cosine=True).collect()
+    ]
+
+    out = migrate_postings(spark, legacy, CFG)
+    assert out["migrated"] is True
+    post = spark.read.parquet(f"{legacy}/postings")
+    assert "term_id" in post.columns and "term" not in post.columns
+    assert "term_id" in spark.read.parquet(f"{legacy}/term_stats").columns
+    man = IndexCatalog(legacy, CFG).manifest.data
+    assert man["layout"]["postings_term_ids"] is True
+
+    s1 = Searcher(spark, legacy, CFG)
+    for q, exp in before.items():
+        got = [
+            (r["doc_id"], r["score"])
+            for r in s1.search(q, 20, method="wand").collect()
+        ]
+        assert got == exp  # EXACT equality: weights preserved bit-for-bit
+    got_cos = [
+        (r["doc_id"], r["score"])
+        for r in s1.search("baba0 ceba1", 20, method="wand", use_cosine=True).collect()
+    ]
+    assert got_cos == cos_before
+
+    # idempotent no-op on an already-migrated index
+    assert migrate_postings(spark, legacy, CFG)["migrated"] is False
+
+    # appends now pack term_id-keyed blocks into the migrated table
+    batch = generate_transcripts(spark, num_convs=2, seed=88).withColumn(
+        "conv_id", F.concat(F.lit("m"), F.col("conv_id"))
+    )
+    assert append_documents(spark, legacy, batch, CFG)["appended_docs"] > 0
+    post2 = spark.read.parquet(f"{legacy}/postings")
+    assert "term_id" in post2.columns and "term" not in post2.columns
+    s2 = Searcher(spark, legacy, CFG)
+    sql = [
+        (r["doc_id"], round(r["score"], 6)) for r in s2.search("baba0 ceba1", 15).collect()
+    ]
+    wand = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in s2.search("baba0 ceba1", 15, method="wand").collect()
+    ]
+    assert [d for d, _ in wand] == [d for d, _ in sql]
