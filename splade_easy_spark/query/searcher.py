@@ -135,6 +135,9 @@ class Searcher:
             )
         )
         self.mode = mode
+        #: driver-side {term: global doc-weight upper bound}; "unset" until
+        #: the first batch search materializes it (see ``_term_bounds``)
+        self._tb_cache: dict[str, float] | str | None = "unset"
         if mode == "memory":
             self.doc_terms = self.doc_terms.persist()
             self.docs = self.docs.persist()
@@ -167,6 +170,57 @@ class Searcher:
             # postings; round-5 ADVICE high).
             post = post.where(F.col("doc_min") < self._snapshot_max)
         return post
+
+    #: skip the driver-side vocabulary map past this many distinct terms —
+    #: at web scale term_stats can hold 10^8+ rows and a driver collect of
+    #: it would be the exact anti-pattern this repo bans; below it the map
+    #: is a one-time vocab-sized collect amortized over the searcher's life
+    TERM_BOUNDS_MAX_VOCAB = 5_000_000
+
+    def _term_bounds(self) -> dict[str, float] | None:
+        """Driver-side ``{term: global BM25 doc-weight upper bound}`` from
+        ``term_stats`` (round-4 VERDICT #5).
+
+        The bound is exact from recorded stats: the BM25 tf component
+        ``tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`` increases in ``tf`` and
+        decreases in ``dl``, so ``idf · max_tf·(k1+1)/(max_tf + k1·(1−b))``
+        (dl→0) dominates every packed weight of the term.  Used for (a) the
+        EXACT out-of-vocabulary drop — a query term with no ``term_stats``
+        row has no postings anywhere (append registers new vocabulary,
+        ``append.py:348``), so removing it from the pushed IN-list changes
+        no result — and (b) the opt-in approximate tail cut in
+        ``search_many``.  Orphan registrations from a crashed append and
+        terms whose postings are all post-snapshot stay in the map: keeping
+        a term is always exact, pruning is what needs proof.
+
+        Returns ``None`` (pruning disabled, behavior unchanged) when the
+        vocabulary exceeds ``TERM_BOUNDS_MAX_VOCAB`` — the footer-based row
+        count costs no Spark job.
+        """
+        if self._tb_cache != "unset":
+            return self._tb_cache  # type: ignore[return-value]
+        if self.cat.table_rows("term_stats") > self.TERM_BOUNDS_MAX_VOCAB:
+            self._tb_cache = None
+            return None
+        ts = self.cat.read(self.spark, "term_stats")
+        p = self.config.bm25
+        loose = F.lit(p.k1 + 1.0)  # tf→∞ limit: always an upper bound
+        if "max_tf" in ts.columns:
+            # append registers batch-new terms with max_tf=NULL
+            # (append.py:338) — fall back to the loose bound per row
+            mtf = F.col("max_tf").cast("double")
+            comp = F.coalesce(
+                mtf * (p.k1 + 1.0) / (mtf + p.k1 * (1.0 - p.b)), loose
+            )
+        else:  # pre-max_tf stats layout
+            comp = loose
+        rows = ts.select("term", (F.col("idf") * comp).alias("ub")).collect()
+        # a null bound must KEEP the term (keeping is always exact)
+        self._tb_cache = {
+            r["term"]: (float("inf") if r["ub"] is None else float(r["ub"]))
+            for r in rows
+        }
+        return self._tb_cache
 
     def _scores(self, terms: list[tuple[str, float]], use_cosine: bool) -> DataFrame:
         """(doc_int, score) for all docs sharing ≥1 query term."""
@@ -264,11 +318,26 @@ class Searcher:
                     "segment_docs", self.config.segment_docs
                 )
             )
+            scan_terms = terms
+            if isinstance(self._tb_cache, dict):
+                # vocabulary map already paid for by a batch call: the
+                # exact OOV drop is free here — a term absent from
+                # term_stats has no postings, so removing it from the
+                # pushed IN-list changes no result.  Only the SCAN list
+                # shrinks; the cosine query norm below keeps every term,
+                # matching the SQL path.  Never loaded eagerly for single
+                # queries: one short IN-list isn't worth a vocab collect.
+                scan_terms = [(t, w) for t, w in terms if t in self._tb_cache]
+            if not scan_terms:
+                return self._attach_docs(
+                    self.spark.createDataFrame([], "doc_int LONG, score DOUBLE"),
+                    return_text,
+                )
             # tombstones stay distributed: packed rows ride the postings'
             # seg exchange into the kernel (never a driver collect), which
             # masks them BEFORE the pruning threshold is computed
             scores = wand_search_scores(
-                self.spark, postings, terms, seg_docs, top_k, deleted, use_cosine,
+                self.spark, postings, scan_terms, seg_docs, top_k, deleted, use_cosine,
                 term_id_seed=self.term_id_seed, snapshot_max=self._snapshot_max,
             )
             if use_cosine:
@@ -296,6 +365,7 @@ class Searcher:
         top_k: int = 10,
         use_cosine: bool = False,
         method: str = "sql",
+        prune_below: float = 0.0,
     ) -> DataFrame:
         """Batch evaluation of many queries in ONE Spark job (the bulk
         path the reference lacks entirely): explode all query terms, join
@@ -303,6 +373,25 @@ class Searcher:
 
         ``queries``: [{"query_id": ..., "text": ...}, ...]
         Returns (query_id, rank, doc_id, score, conv_id, turn_idx).
+
+        Term pruning (round-4 VERDICT #5): batch calls load a driver-side
+        per-term global weight bound once (``_term_bounds``) and always
+        apply the EXACT out-of-vocabulary drop — query terms with no
+        ``term_stats`` row have no postings, so the pushed IN-list and the
+        shipped postings shrink with zero result change and zero extra jobs
+        per batch.  ``prune_below > 0`` additionally drops, per query, the
+        terms whose bound falls under ``prune_below × (that query's best
+        term bound)`` — **APPROXIMATE**: a dropped in-vocabulary term's
+        contribution to matching docs is simply lost (scores shrink by at
+        most the dropped bounds' sum; ranks near ties can flip), the
+        standard quality/cost knob for SPLADE-style expansion queries whose
+        tail terms carry weights orders of magnitude below the head.  A
+        driver-side drop can never be exact for in-vocab terms — any doc
+        in the true top-k may contain one, and with its postings never
+        shipped the kernel's repair pass has nothing to repair with — so
+        exactness-preserving cuts live in the kernel (MaxScore + repair)
+        and this knob defaults off.  Pruning applies to the wand/wand_nox
+        methods only; ``method='sql'`` stays the untouched oracle path.
         """
         rows = []
         for q in queries:
@@ -330,6 +419,29 @@ class Searcher:
                 q["query_id"]: analyze_query(q["text"], self.config) for q in queries
             }
             qt = {k: v for k, v in qt.items() if v}
+            # cosine query norms are over the FULL analyzed term list —
+            # the SQL path's norm includes OOV terms (they contribute to
+            # ‖q‖ though never to the dot), so pruning must not touch it
+            qt_full = qt
+            bounds = self._term_bounds()
+            if bounds is not None:
+                pruned_qt: dict[str, list[tuple[str, float]]] = {}
+                for qid, ts in qt.items():
+                    kept = [(t, w) for t, w in ts if t in bounds]
+                    if kept and prune_below > 0.0:
+                        # per-query relative cut on qweight·global-bound —
+                        # approximate by design (see docstring); in cosine
+                        # mode the BM25 bounds order terms heuristically
+                        thr = prune_below * max(w * bounds[t] for t, w in kept)
+                        kept = [(t, w) for t, w in kept if w * bounds[t] >= thr]
+                    if kept:
+                        pruned_qt[qid] = kept
+                qt = pruned_qt
+            if not qt:
+                return self.spark.createDataFrame(
+                    [],
+                    "query_id STRING, rank INT, doc_id STRING, score DOUBLE, conv_id STRING, turn_idx INT",
+                )
             seg_docs = int(
                 self.cat.manifest.data.get("layout", {}).get(
                     "segment_docs", self.config.segment_docs
@@ -356,7 +468,8 @@ class Searcher:
             )
             if use_cosine:
                 qnorms = [
-                    (qid, sum(qw * qw for _, qw in ts) ** 0.5) for qid, ts in qt.items()
+                    (qid, sum(qw * qw for _, qw in ts) ** 0.5)
+                    for qid, ts in qt_full.items()
                 ]
                 qn = self.spark.createDataFrame(qnorms, "query_id STRING, _qn DOUBLE")
                 cand = (
