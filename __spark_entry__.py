@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from splade_easy_spark.adhoc import bm25_topk, bm25_topk_multi, bm25_weights, doc_term_tf
 from splade_easy_spark.functions.text import tokenize
-from splade_easy_spark.ops import dedup, similarity, textstats
+from splade_easy_spark.ops import decontaminate, dedup, similarity, textstats
 
 # ---------------------------------------------------------------------------
 # shared constants — referenced by BOTH the Spark plans and the SQL oracles
@@ -125,6 +125,15 @@ sh AS (
 
 def _sql_h64(expr: str, seed: str) -> str:
     return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 8))::BIGINT"
+
+
+def _sql_dup_frac(arr: str) -> str:
+    """1 − distinct/total over a list column (Gopher repetition fraction)."""
+    return (
+        f"round(CASE WHEN len({arr}) > 0 "
+        f"THEN 1.0 - len(list_distinct({arr}))::DOUBLE / len({arr}) "
+        f"ELSE 0.0 END, 6)"
+    )
 
 
 def _sql_minhash_sig() -> str:
@@ -343,6 +352,32 @@ def q_curate_corpus(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition fractions (dup lines / words / 2-grams /
+    3-grams) — ops.textstats.repetition_features, pure Catalyst."""
+    return textstats.repetition_features(_docs(spark, sf_dir))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination report: the corpus split deterministically
+    into a 'reference' tenth (md5(doc_id) bucket) and a training rest; each
+    training doc counts its distinct word 3-grams shared with ANY reference
+    doc — ops.decontaminate.ngram_contamination (distinct-hash semi-join,
+    reference side reduced before the join)."""
+    docs = _docs(spark, sf_dir)
+    is_ref = dedup.md5_hash64(F.col("doc_id").cast("string"), "ref") % 10 == 0
+    out = decontaminate.ngram_contamination(
+        docs.where(~is_ref), docs.where(is_ref), shingle_k=SHINGLE_K
+    )
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_hit",
+        "contam_frac",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     out = textstats.fingerprint(_docs(spark, sf_dir), keep=4)
     return out.where(F.size("fingerprint") >= 4).select(
@@ -516,6 +551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality,
         "language_id": q_language_id,
         "curate_corpus": q_curate_corpus,
+        "repetition_features": q_repetition,
+        "decontaminate": q_decontaminate,
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -683,6 +720,62 @@ FROM gated g
 LEFT JOIN clusters c ON g.doc_id = c.node
 LEFT JOIN keepers k ON c.comp = k.comp
 WHERE c.node IS NULL OR g.doc_id = k.keeper""",
+        "repetition_features": f"""
+WITH {_TOK_CTE},
+ln AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> length(l) > 0) AS lines
+  FROM documents
+),
+gr AS (
+  SELECT t.doc_id, t.toks,
+         CASE WHEN len(t.toks) >= 2
+              THEN list_transform(range(len(t.toks) - 1),
+                                  i -> array_to_string(list_slice(t.toks, i + 1, i + 2), ' '))
+              WHEN len(t.toks) > 0 THEN [array_to_string(t.toks, ' ')]
+              ELSE [] END AS g2,
+         CASE WHEN len(t.toks) >= 3
+              THEN list_transform(range(len(t.toks) - 2),
+                                  i -> array_to_string(list_slice(t.toks, i + 1, i + 3), ' '))
+              WHEN len(t.toks) > 0 THEN [array_to_string(t.toks, ' ')]
+              ELSE [] END AS g3
+  FROM tok t
+)
+SELECT d.doc_id, len(l.lines) AS n_lines,
+  {_sql_dup_frac('l.lines')} AS dup_line_frac,
+  {_sql_dup_frac('g.toks')} AS dup_word_frac,
+  {_sql_dup_frac('g.g2')} AS dup_2gram_frac,
+  {_sql_dup_frac('g.g3')} AS dup_3gram_frac
+FROM documents d JOIN ln l USING (doc_id) JOIN gr g USING (doc_id)""",
+        "decontaminate": f"""
+WITH base AS (
+  SELECT doc_id, text,
+         (('0x' || substr(md5('ref:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10 = 0) AS is_ref
+  FROM documents
+),
+tokb AS (SELECT doc_id, is_ref, regexp_extract_all(lower(text), '{PAT}') AS toks FROM base),
+shb AS (
+  SELECT doc_id, is_ref,
+         CASE WHEN len(toks) >= {SHINGLE_K}
+              THEN list_distinct(list_transform(range(len(toks) - {SHINGLE_K} + 1),
+                                 i -> array_to_string(list_slice(toks, i + 1, i + {SHINGLE_K}), ' ')))
+              WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+              ELSE [] END AS shingles
+  FROM tokb
+),
+dsh AS (SELECT doc_id, is_ref, {_sql_h64('s', '')} AS sh
+        FROM (SELECT doc_id, is_ref, unnest(shingles) AS s FROM shb)),
+refsh AS (SELECT DISTINCT sh FROM dsh WHERE is_ref),
+hits AS (SELECT d.doc_id, count(*)::BIGINT AS n_hit
+         FROM dsh d JOIN refsh USING (sh) WHERE NOT d.is_ref GROUP BY d.doc_id)
+SELECT s.doc_id, len(s.shingles) AS n_shingles,
+  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+  round(CASE WHEN len(s.shingles) > 0
+        THEN coalesce(h.n_hit, 0)::DOUBLE / len(s.shingles)
+        ELSE 0.0 END, 6) AS contam_frac,
+  (coalesce(h.n_hit, 0) >= 1)::INT AS contaminated
+FROM shb s LEFT JOIN hits h USING (doc_id) WHERE NOT s.is_ref""",
         "fingerprint": f"""
 WITH {_TOK_CTE},{_SHINGLE_CTE},
 hashes AS (

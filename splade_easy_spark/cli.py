@@ -12,6 +12,9 @@ points (``pyproject.toml:15-18``: ``ingest-dataset``, ``reshard``,
     python -m splade_easy_spark.cli reshard --index ./idx --segment-docs N --block-size N
     python -m splade_easy_spark.cli optimize --index ./idx        # merge appended runs/small files
     python -m splade_easy_spark.cli curate  --input docs.parquet --output kept.parquet
+    python -m splade_easy_spark.cli decontaminate --input docs.parquet \
+        --reference evalset.parquet --output clean.parquet
+    python -m splade_easy_spark.cli migrate --index ./idx   # legacy layout → term ids
 """
 
 from __future__ import annotations
@@ -35,6 +38,49 @@ def cmd_build(args) -> int:
     tx = spark.read.parquet(args.input)
     res = build_index(spark, tx, args.index, resume=args.resume)
     print(json.dumps(res.__dict__))
+    return 0
+
+
+def cmd_decontaminate(args) -> int:
+    """Test-set decontamination: drop input docs sharing word n-grams with
+    the reference parquet table (ops.decontaminate.ngram_contamination);
+    writes the surviving rows and prints a JSON summary."""
+    from splade_easy_spark.ops.decontaminate import ngram_contamination
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    ref = spark.read.parquet(args.reference)
+    t0 = time.time()
+    report = ngram_contamination(
+        docs,
+        ref,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        ref_id_col=args.ref_id_col or args.id_col,
+        ref_text_col=args.ref_text_col or args.text_col,
+        shingle_k=args.shingle_k,
+        min_hits=args.min_hits,
+    )
+    from pyspark.sql import functions as F
+
+    flagged = report.where(F.col("contaminated")).select(F.col(args.id_col))
+    clean = docs.join(flagged, args.id_col, "left_anti")
+    clean.write.mode("overwrite").parquet(args.output)
+    n_kept = spark.read.parquet(args.output).count()
+    n_in = docs.count()
+    print(
+        json.dumps(
+            {
+                "input_docs": n_in,
+                "kept_docs": n_kept,
+                "contaminated": n_in - n_kept,
+                "shingle_k": args.shingle_k,
+                "min_hits": args.min_hits,
+                "output": args.output,
+                "elapsed_sec": round(time.time() - t0, 3),
+            }
+        )
+    )
     return 0
 
 
@@ -295,6 +341,18 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--min-tokens", type=int, default=20)
     cu.add_argument("--lang", default="en", help="empty string disables the language gate")
     cu.set_defaults(fn=cmd_curate)
+
+    dc = sub.add_parser("decontaminate")
+    dc.add_argument("--input", required=True)
+    dc.add_argument("--reference", required=True, help="held-out eval/benchmark parquet")
+    dc.add_argument("--output", required=True)
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--ref-id-col", default="", help="defaults to --id-col")
+    dc.add_argument("--ref-text-col", default="", help="defaults to --text-col")
+    dc.add_argument("--shingle-k", type=int, default=8)
+    dc.add_argument("--min-hits", type=int, default=1)
+    dc.set_defaults(fn=cmd_decontaminate)
 
     a = sub.add_parser("append")
     a.add_argument("--input", required=True)

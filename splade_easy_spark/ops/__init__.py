@@ -1,3 +1,10 @@
-from splade_easy_spark.ops import curate, dedup, similarity, textstats, multimodal
+from splade_easy_spark.ops import (
+    curate,
+    decontaminate,
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
 
-__all__ = ["curate", "dedup", "similarity", "textstats", "multimodal"]
+__all__ = ["curate", "decontaminate", "dedup", "multimodal", "similarity", "textstats"]

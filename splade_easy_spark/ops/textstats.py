@@ -104,6 +104,53 @@ def language_id(
     )
 
 
+def repetition_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
+    filters), the classic crawl-garbage detectors — boilerplate nav bars,
+    keyword-stuffed spam, template spew — per doc:
+
+    - ``dup_line_frac``: 1 − distinct/total over non-empty trimmed lines
+    - ``dup_word_frac``: 1 − distinct/total over analyzer tokens
+    - ``dup_2gram_frac`` / ``dup_3gram_frac``: same over word n-grams
+
+    All pure Catalyst (split / transform / array_distinct — JVM codegen,
+    scan-speed over 100 TB, no shuffle) and exactly reproducible in the
+    DuckDB oracle.  ``passthrough`` chains extra columns as in
+    ``quality_features``.
+    """
+    text = F.col(text_col)
+    toks = tokenize(text)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+    def dup_frac(arr):
+        n = F.size(arr)
+        return F.round(
+            F.when(
+                n > 0,
+                F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / n.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough],
+        F.size(lines).alias("n_lines"),
+        dup_frac(lines).alias("dup_line_frac"),
+        dup_frac(toks).alias("dup_word_frac"),
+        dup_frac(word_shingles(text, 2)).alias("dup_2gram_frac"),
+        dup_frac(word_shingles(text, 3)).alias("dup_3gram_frac"),
+    )
+
+
 def fingerprint(
     df: DataFrame,
     id_col: str = "doc_id",

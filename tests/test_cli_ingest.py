@@ -136,3 +136,37 @@ def test_cli_curate(spark, tmp_path, capsys):
     kept = spark.read.parquet(out)
     assert set(kept.columns) == {"doc_id", "n_tokens", "quality", "pred_lang"}
     assert kept.count() == summary["kept_docs"]
+
+
+def test_cli_decontaminate(spark, tmp_path, capsys):
+    """decontaminate verb: anti-joins flagged docs, summary matches the
+    library op at the same knobs."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from splade_easy_spark import cli
+    from splade_easy_spark.ops.decontaminate import ngram_contamination
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(src)
+    # reference = a deterministic tenth of the corpus, written separately
+    ref_df = docs.where(F.col("doc_id") % 10 == 0)
+    ref = str(tmp_path / "ref")
+    ref_df.write.parquet(ref)
+    out = str(tmp_path / "clean")
+    assert (
+        cli.main(
+            ["decontaminate", "--input", src, "--reference", ref,
+             "--output", out, "--shingle-k", "3"]
+        )
+        == 0
+    )
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rep = ngram_contamination(docs, ref_df, shingle_k=3)
+    n_flagged = rep.where(F.col("contaminated")).count()
+    assert summary["contaminated"] == n_flagged
+    assert summary["kept_docs"] == summary["input_docs"] - n_flagged
+    # reference docs themselves are (trivially) contaminated and dropped
+    kept_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert not any(i % 10 == 0 for i in kept_ids if i is not None)

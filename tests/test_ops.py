@@ -353,3 +353,93 @@ def test_curate_cluster_keeps_best_survivor(spark):
     assert "c_good" not in kept  # non-canonical near-dup
     assert "a_bad" not in kept
     assert "d_solo" in kept
+
+
+def test_repetition_features_match_python(spark):
+    """Gopher repetition fractions vs a direct Python restatement,
+    including newline docs, all-repeat docs, and empties."""
+    from splade_easy_spark.ops.textstats import repetition_features
+
+    rows = [
+        (1, "buy now buy now buy now buy now"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "menu\nhome\nmenu\nhome\ncontact us today"),
+        (4, ""),
+        (5, "one"),
+        (6, "a b a b a b a b"),
+        (7, "  \n  \n line one \n line one \n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {r["doc_id"]: r.asDict() for r in repetition_features(df).collect()}
+
+    def toks_of(t):
+        return re.findall("[a-z0-9]+", t.lower())
+
+    def grams(toks, k):
+        if len(toks) >= k:
+            return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        return [" ".join(toks)] if toks else []
+
+    def frac(arr):
+        return round(1.0 - len(set(arr)) / len(arr), 6) if arr else 0.0
+
+    for doc_id, text in rows:
+        lines = [l.strip() for l in text.split("\n")]
+        lines = [l for l in lines if l]
+        toks = toks_of(text)
+        g = got[doc_id]
+        assert g["n_lines"] == len(lines), doc_id
+        assert abs(g["dup_line_frac"] - frac(lines)) < 1e-9, doc_id
+        assert abs(g["dup_word_frac"] - frac(toks)) < 1e-9, doc_id
+        assert abs(g["dup_2gram_frac"] - frac(grams(toks, 2))) < 1e-9, doc_id
+        assert abs(g["dup_3gram_frac"] - frac(grams(toks, 3))) < 1e-9, doc_id
+
+
+def test_ngram_contamination_matches_python(spark, corpus_df):
+    """Decontamination vs a brute-force Python set intersection: every
+    training doc's distinct-shingle hit count against the reference union."""
+    from splade_easy_spark.ops.decontaminate import ngram_contamination
+
+    ref_rows = [
+        (100, "the quick brown fox jumps over the fence"),
+        (101, "totally disjoint reference material nothing shared"),
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id INT, text STRING")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_contamination(corpus_df, ref, shingle_k=3).collect()
+    }
+    texts = {r[0]: r[1] for r in corpus_df.collect()}
+    assert set(out) == set(texts), "one report row per input doc"
+    ref_sh = set().union(*(shingles_py(t, 3) for _, t in ref_rows))
+    # hash-grain like the op (collisions would count identically)
+    ref_h = {h64(s) for s in ref_sh}
+    for doc_id, text in texts.items():
+        mine = shingles_py(text, 3) if text else set()
+        mine_h = {h64(s) for s in mine}
+        n_hit = len(mine_h & ref_h)
+        g = out[doc_id]
+        assert g["n_shingles"] == len(mine), doc_id
+        assert g["n_hit"] == n_hit, doc_id
+        exp_frac = round(n_hit / len(mine), 6) if mine else 0.0
+        assert abs(g["contam_frac"] - exp_frac) < 1e-9, doc_id
+        assert g["contaminated"] == (n_hit >= 1), doc_id
+    # the quick-brown-fox family overlaps the reference; doc 4/5/7 do not
+    assert out[1]["contaminated"] and out[8]["contaminated"]
+    assert not out[4]["contaminated"] and not out[5]["contaminated"]
+
+
+def test_ngram_contamination_anti_join_cleans(spark, corpus_df):
+    from splade_easy_spark.ops.decontaminate import ngram_contamination
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the fence")], "doc_id INT, text STRING"
+    )
+    rep = ngram_contamination(corpus_df, ref, shingle_k=3)
+    clean = corpus_df.join(
+        rep.where(F.col("contaminated")).select("doc_id"), "doc_id", "left_anti"
+    )
+    kept = {r["doc_id"] for r in clean.collect()}
+    flagged = {r["doc_id"] for r in rep.where(F.col("contaminated")).collect()}
+    assert kept.isdisjoint(flagged)
+    assert kept | flagged == {r["doc_id"] for r in corpus_df.collect()}
