@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from splade_easy_spark.adhoc import bm25_topk, bm25_topk_multi, bm25_weights, doc_term_tf
 from splade_easy_spark.functions.text import tokenize
-from splade_easy_spark.ops import decontaminate, dedup, similarity, textstats
+from splade_easy_spark.ops import decontaminate, dedup, pack, pii, sample, similarity, textstats, vocab
 
 # ---------------------------------------------------------------------------
 # shared constants — referenced by BOTH the Spark plans and the SQL oracles
@@ -46,6 +46,13 @@ ANN_K = 10
 EMB_DIM, LSH_PLANES = 64, 8
 POINT_GET_ID = 42
 DOC_VECTOR_ID = 7
+SAMPLE_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25}
+SAMPLE_DEFAULT = 0.1
+# 0.78: the synthetic word-salad corpus has ~30 terms with df/n in
+# 0.746-0.804 — this threshold drops roughly half of them (exercising the
+# max-df stopword filter) while keeping a meaty ~16-row vocabulary.
+VOCAB_MIN_DF, VOCAB_MAX_DF_FRAC, VOCAB_MAX_SIZE = 2, 0.78, 200
+PACK_BUDGET, PACK_BUCKETS = 200, 8
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,6 +220,73 @@ v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
 SELECT doc_id, ({final}) AS simhash FROM v"""
 
 
+def _sql_sample_threshold() -> str:
+    """CASE mapping lang → keep-threshold in the 1e6 hash space — the same
+    resolved rates ops.sample.stratified_sample folds into its gate."""
+    whens = " ".join(
+        f"WHEN '{s}' THEN {int(round(SAMPLE_RATES[s] * 1_000_000))}"
+        for s in sorted(SAMPLE_RATES)
+    )
+    return f"CASE lang {whens} ELSE {int(round(SAMPLE_DEFAULT * 1_000_000))} END"
+
+
+def _sql_pii() -> str:
+    """PII oracle sharing ops.pii.PII_PATTERNS verbatim (RE2-compatible by
+    construction); DuckDB regexp_replace needs the explicit 'g' flag to
+    match Spark's always-global semantics."""
+    from splade_easy_spark.ops.pii import PII_PATTERNS
+
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::INT AS n_{kind}"
+        for kind, pat in PII_PATTERNS
+    )
+    redacted = "text"
+    for kind, pat in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '<{kind.upper()}>', 'g')"
+    total = " + ".join(f"n_{kind}" for kind, _ in PII_PATTERNS)
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 or 123-45-6789' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.' || (doc_id % 200)::VARCHAR || '.1' ELSE '' END
+    AS text
+  FROM documents
+),
+counted AS (SELECT doc_id, text, {counts} FROM aug)
+SELECT doc_id, {', '.join(f'n_{kind}' for kind, _ in PII_PATTERNS)},
+  ({total})::INT AS n_pii,
+  (({total}) > 0)::INT AS has_pii,
+  {redacted} AS redacted_text
+FROM counted"""
+
+
+def _sql_pack() -> str:
+    """Recursive-CTE replay of the greedy first-fit-sequential fold: the
+    walk advances one doc per bucket per iteration (rn + 1), carrying
+    (seq_id, fill); a doc opens a new sequence iff fill + t > budget AND
+    fill > 0 — byte-identical to ops.pack._pack_bucket."""
+    return f"""
+WITH RECURSIVE {_TOK_CTE},
+base AS (
+  SELECT (('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 8))::BIGINT % {PACK_BUCKETS})::INT AS bucket,
+         doc_id, len(toks)::BIGINT AS n_tokens
+  FROM tok
+),
+ordered AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM base),
+walk(bucket, rn, doc_id, n_tokens, seq_id, fill) AS (
+  SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT, n_tokens FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN w.fill + d.n_tokens > {PACK_BUDGET} AND w.fill > 0
+              THEN w.seq_id + 1 ELSE w.seq_id END,
+         CASE WHEN w.fill + d.n_tokens > {PACK_BUDGET} AND w.fill > 0
+              THEN d.n_tokens ELSE w.fill + d.n_tokens END
+  FROM walk w JOIN ordered d ON d.bucket = w.bucket AND d.rn = w.rn + 1
+)
+SELECT bucket, doc_id, seq_id, (fill - n_tokens)::BIGINT AS offset, n_tokens FROM walk"""
+
+
 _SQL_COS = (
     "list_dot_product(a.emb, b.emb) / "
     "(sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"
@@ -375,6 +449,69 @@ def q_decontaminate(spark, sf_dir):
         "n_hit",
         "contam_frac",
         F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic data-mixing sample: per-lang keep rates (en 0.8,
+    de 0.5, fr 0.25, default 0.1) gated on md5(doc_id) — stable under
+    retries/partitioning, nested across rates, zero shuffle
+    (ops.sample.stratified_sample)."""
+    out = sample.stratified_sample(
+        _docs(spark, sf_dir), "lang", SAMPLE_RATES, default_rate=SAMPLE_DEFAULT
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def q_vocab_topn(spark, sf_dir):
+    """Vocabulary build: df-thresholded (min_df=2, max_df_frac=0.78) top-200
+    terms with dense deterministic ids (df desc, term asc) —
+    ops.vocab.build_vocab (one map-side-combined term agg + vocab-sized
+    window)."""
+    return vocab.build_vocab(
+        _docs(spark, sf_dir),
+        min_df=VOCAB_MIN_DF,
+        max_df_frac=VOCAB_MAX_DF_FRAC,
+        max_size=VOCAB_MAX_SIZE,
+    )
+
+
+def _pii_augmented(spark, sf_dir):
+    """Documents with deterministic synthetic PII appended (the raw corpus
+    is PII-free word salad): doc_id%7 docs gain an email, %11 a phone+ssn,
+    %13 an IPv4 — constructed identically in the SQL oracle so the gate
+    exercises real nonzero detections."""
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" call 555-867-5309 or 123-45-6789")).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(F.lit(" from 10.0."), (did % 200).cast("string"), F.lit(".1")),
+        ).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select("doc_id", aug.alias("text"))
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII detection + redaction report (ops.pii.pii_scan): per-doc counts
+    of email/ipv4/ssn/phone spans plus the tag-redacted text — pure
+    Catalyst regexp, one scan, RE2-compatible patterns shared with the
+    oracle."""
+    return pii.pii_scan(_pii_augmented(spark, sf_dir))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy token-budget sequence packing (ops.pack.pack_sequences):
+    hash-bucket routing (pure Catalyst) + per-bucket first-fit-sequential
+    Arrow kernel; gated against a recursive-CTE DuckDB oracle that replays
+    the same fold."""
+    return pack.pack_sequences(
+        _docs(spark, sf_dir), budget=PACK_BUDGET, n_buckets=PACK_BUCKETS
     )
 
 
@@ -553,6 +690,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "repetition_features": q_repetition,
         "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "vocab_topn": q_vocab_topn,
+        "pii_scan": q_pii_scan,
+        "pack_sequences": q_pack_sequences,
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -776,6 +917,23 @@ SELECT s.doc_id, len(s.shingles) AS n_shingles,
         ELSE 0.0 END, 6) AS contam_frac,
   (coalesce(h.n_hit, 0) >= 1)::INT AS contaminated
 FROM shb s LEFT JOIN hits h USING (doc_id) WHERE NOT s.is_ref""",
+        "stratified_sample": f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+      < {_sql_sample_threshold()}""",
+        "vocab_topn": f"""
+WITH {_TOK_CTE},
+tt AS (SELECT doc_id, term, count(*)::INT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY doc_id, term),
+stats AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf FROM tt GROUP BY term),
+nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+kept AS (SELECT s.term, s.df, s.total_tf FROM stats s, nd
+         WHERE s.df >= {VOCAB_MIN_DF} AND s.df <= floor({VOCAB_MAX_DF_FRAC} * nd.n)),
+ranked AS (SELECT term, df, total_tf,
+           (row_number() OVER (ORDER BY df DESC, term))::INT - 1 AS vocab_id FROM kept)
+SELECT term, df, total_tf, vocab_id FROM ranked WHERE vocab_id < {VOCAB_MAX_SIZE}""",
+        "pii_scan": _sql_pii(),
+        "pack_sequences": _sql_pack(),
         "fingerprint": f"""
 WITH {_TOK_CTE},{_SHINGLE_CTE},
 hashes AS (
