@@ -24,7 +24,19 @@ from pyspark.sql.window import Window
 
 from splade_easy_spark.adhoc import bm25_topk, bm25_topk_multi, bm25_weights, doc_term_tf
 from splade_easy_spark.functions.text import tokenize
-from splade_easy_spark.ops import decontaminate, dedup, pack, pii, sample, similarity, textstats, vocab
+from splade_easy_spark.ops import (
+    chunk,
+    decontaminate,
+    dedup,
+    lm,
+    pack,
+    pii,
+    quant,
+    sample,
+    similarity,
+    textstats,
+    vocab,
+)
 
 # ---------------------------------------------------------------------------
 # shared constants — referenced by BOTH the Spark plans and the SQL oracles
@@ -53,6 +65,8 @@ SAMPLE_DEFAULT = 0.1
 # max-df stopword filter) while keeping a meaty ~16-row vocabulary.
 VOCAB_MIN_DF, VOCAB_MAX_DF_FRAC, VOCAB_MAX_SIZE = 2, 0.78, 200
 PACK_BUDGET, PACK_BUCKETS = 200, 8
+# ~100-token docs with size 40 / stride 32 → 3 overlapping chunks per doc
+CHUNK_SIZE, CHUNK_OVERLAP = 40, 8
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,6 +529,44 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Sliding-window chunking (ops.chunk.chunk_documents): size-40 windows
+    every 32 tokens (overlap 8) — pure Catalyst tokenize + sequence +
+    posexplode + slice, zero Python, zero shuffle."""
+    return chunk.chunk_documents(
+        _docs(spark, sf_dir), size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    )
+
+
+def q_unigram_lm(spark, sf_dir):
+    """Unigram-LM fluency score (ops.lm.unigram_logprob): per-doc average
+    token log-probability under the corpus's own unigram distribution —
+    doc_term_tf + broadcast vocab-stats join + one doc-grain agg."""
+    out = lm.unigram_logprob(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("sum_logprob", 6).alias("sum_logprob"),
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    )
+
+
+def q_quantize_emb(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embeddings table
+    (ops.quant.quantize_embeddings): codes are exact ints; scale and the
+    reconstruction-error audit columns ride along (mse in 1e-9 units so
+    the 6-decimal compare keeps real discrimination)."""
+    out = quant.quantize_embeddings(_emb(spark, sf_dir))
+    codes = F.array_join(F.transform("q_emb", lambda x: x.cast("string")), ",")
+    return out.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        codes.alias("q_codes"),
+        F.round("max_abs_err", 9).alias("max_abs_err"),
+        F.round(F.col("mse") * 1e9, 6).alias("mse_x1e9"),
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     out = textstats.fingerprint(_docs(spark, sf_dir), keep=4)
     return out.where(F.size("fingerprint") >= 4).select(
@@ -694,6 +746,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topn": q_vocab_topn,
         "pii_scan": q_pii_scan,
         "pack_sequences": q_pack_sequences,
+        "chunk_docs": q_chunk_docs,
+        "unigram_lm": q_unigram_lm,
+        "quantize_emb": q_quantize_emb,
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -934,6 +989,56 @@ ranked AS (SELECT term, df, total_tf,
 SELECT term, df, total_tf, vocab_id FROM ranked WHERE vocab_id < {VOCAB_MAX_SIZE}""",
         "pii_scan": _sql_pii(),
         "pack_sequences": _sql_pack(),
+        "chunk_docs": f"""
+WITH {_TOK_CTE},
+base AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM tok),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(
+           0,
+           greatest(0, (ceil((n - {CHUNK_SIZE}) / {CHUNK_SIZE - CHUNK_OVERLAP}.0))::BIGINT
+                       * {CHUNK_SIZE - CHUNK_OVERLAP}),
+           {CHUNK_SIZE - CHUNK_OVERLAP})) AS start
+  FROM base
+),
+win AS (
+  SELECT doc_id, (start // {CHUNK_SIZE - CHUNK_OVERLAP})::INT AS chunk_id, start::BIGINT AS start,
+         list_slice(toks, start + 1, start + {CHUNK_SIZE}) AS w
+  FROM starts
+)
+SELECT doc_id, chunk_id, start, len(w)::BIGINT AS n_tokens,
+       array_to_string(w, ' ') AS chunk_text
+FROM win""",
+        "unigram_lm": f"""
+WITH {_TOK_CTE},
+tt AS (SELECT doc_id, term, count(*)::INT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY doc_id, term),
+stats AS (SELECT term, sum(tf)::BIGINT AS total_tf FROM tt GROUP BY term),
+tot AS (SELECT sum(total_tf)::DOUBLE AS T FROM stats)
+SELECT tt.doc_id, sum(tt.tf)::BIGINT AS n_tokens,
+       round(sum(tt.tf * ln(s.total_tf::DOUBLE / tot.T)), 6) AS sum_logprob,
+       round(sum(tt.tf * ln(s.total_tf::DOUBLE / tot.T)) / sum(tt.tf), 6) AS avg_logprob
+FROM tt JOIN stats s USING (term) CROSS JOIN tot
+GROUP BY tt.doc_id""",
+        "quantize_emb": """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+mx AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+q AS (
+  SELECT vec_id, v, m, m / 127.0 AS scale,
+         CASE WHEN m = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> floor(x * 127.0 / m + 0.5)::INT) END AS q_emb
+  FROM mx
+),
+err AS (
+  SELECT vec_id, scale, q_emb,
+         list_transform(list_zip(q_emb, v), p -> abs(p[1]::DOUBLE * scale - p[2]::DOUBLE)) AS ae
+  FROM q
+)
+SELECT vec_id, round(scale, 9) AS scale,
+       array_to_string(q_emb, ',') AS q_codes,
+       round(list_max(ae), 9) AS max_abs_err,
+       round(list_sum(list_transform(ae, x -> x * x)) / len(ae) * 1e9, 6) AS mse_x1e9
+FROM err""",
         "fingerprint": f"""
 WITH {_TOK_CTE},{_SHINGLE_CTE},
 hashes AS (
