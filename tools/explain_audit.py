@@ -171,6 +171,37 @@ def main() -> None:
             formatted(entry.queries()["curate_corpus"](spark, sf_dir)),
         )
     )
+    sections.append(
+        (
+            "chunk_docs / quantize_emb — zero-shuffle prep ops",
+            "both plans are a single FileScan + WholeStageCodegen Project "
+            "(tokenize/sequence/posexplode/slice for chunking; the int8 "
+            "quantization HOFs) — NO Exchange anywhere: these ops compose "
+            "with partition pruning and never materialize intermediates.",
+            formatted(entry.queries()["chunk_docs"](spark, sf_dir))
+            + formatted(entry.queries()["quantize_emb"](spark, sf_dir)),
+        )
+    )
+    sections.append(
+        (
+            "pack_sequences — greedy token-budget packing",
+            "pure-Catalyst token counting + hash-bucket routing over the "
+            "scan, then exactly ONE Exchange (hashpartitioning on the "
+            "uniform bucket) feeding the per-bucket FlatMapGroupsInPandas "
+            "first-fit kernel — bucket count is the parallelism knob, the "
+            "exchanged frame is (bucket, doc_id, n_tokens) only.",
+            formatted(entry.queries()["pack_sequences"](spark, sf_dir)),
+        )
+    )
+    sections.append(
+        (
+            "stratified_sample — deterministic data mixing",
+            "the md5 keep-gate folds into a Filter directly over the "
+            "documents FileScan (WholeStageCodegen, no Exchange, no "
+            "materialized reject rows).",
+            formatted(entry.queries()["stratified_sample"](spark, sf_dir)),
+        )
+    )
     out = ["# EXPLAIN — headline physical plans", ""]
     out.append(
         "Generated by `python tools/explain_audit.py`; plans from the live "
