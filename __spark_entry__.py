@@ -67,6 +67,7 @@ VOCAB_MIN_DF, VOCAB_MAX_DF_FRAC, VOCAB_MAX_SIZE = 2, 0.78, 200
 PACK_BUDGET, PACK_BUCKETS = 200, 8
 # ~100-token docs with size 40 / stride 32 → 3 overlapping chunks per doc
 CHUNK_SIZE, CHUNK_OVERLAP = 40, 8
+PREP_SAMPLE_RATE = 0.5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,6 +467,28 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_prep_pipeline(spark, sf_dir):
+    """The full composed prep pipeline (ops.pipeline.prep_training_corpus):
+    curate (same knobs as the curate_corpus gate) → deterministic 0.5
+    sample → size-40/overlap-8 sliding-window chunking, ONE plan — the
+    curated survivors' (quality, pred_lang) ride the chunker's passthrough
+    so no post-chunk re-join exists anywhere."""
+    from splade_easy_spark.ops.pipeline import prep_training_corpus
+
+    return prep_training_corpus(
+        _docs(spark, sf_dir),
+        sample_rate=PREP_SAMPLE_RATE,
+        chunk_size=CHUNK_SIZE,
+        chunk_overlap=CHUNK_OVERLAP,
+        min_quality=0.9,
+        min_tokens=20,
+        lang="en",
+        shingle_k=SHINGLE_K,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic data-mixing sample: per-lang keep rates (en 0.8,
     de 0.5, fr 0.25, default 0.1) gated on md5(doc_id) — stable under
@@ -747,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "pack_sequences": q_pack_sequences,
         "chunk_docs": q_chunk_docs,
+        "prep_pipeline": q_prep_pipeline,
         "unigram_lm": q_unigram_lm,
         "quantize_emb": q_quantize_emb,
         "fingerprint": q_fingerprint,
@@ -759,6 +783,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "nation_revenue_top_customers": q_nation_revenue_top_customers,
     }
+
+
+def _curate_ctes(lang_score_cols: str, lang_case: str) -> str:
+    """Shared CTE chain of the composed-curation oracle (LSH pairs →
+    connected components → quality/language gates → per-component keeper),
+    reused verbatim by the `curate_corpus` and `prep_pipeline` gates."""
+    return f"""{_sql_lsh_ctes()},
+{_CC_CTES},
+qual AS (
+  SELECT d.doc_id, len(t.toks) AS n_tokens,
+  round(
+    least(len(t.toks)::DOUBLE / 20.0, 1.0) * 0.5
+    + (1.0 - least((CASE WHEN length(d.text) > 0
+         THEN length(regexp_replace(d.text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE / length(d.text)
+         ELSE 0.0 END) * 4.0, 1.0)) * 0.25
+    + (1.0 - least((CASE WHEN length(d.text) > 0
+         THEN length(regexp_replace(d.text, '[^A-Z]', '', 'g'))::DOUBLE / length(d.text)
+         ELSE 0.0 END) * 4.0, 1.0)) * 0.25, 6) AS quality
+  FROM documents d JOIN tok t USING (doc_id)
+),
+scored AS (SELECT doc_id, {lang_score_cols} FROM tok),
+best_t AS (SELECT doc_id, s_de, s_en, s_es, s_fr,
+           greatest(s_de, s_en, s_es, s_fr) AS best FROM scored),
+lang AS (SELECT doc_id, CASE WHEN best <= 0 THEN 'und' {lang_case} END AS pred_lang FROM best_t),
+gated AS (
+  SELECT q.doc_id, q.n_tokens, q.quality, l.pred_lang
+  FROM qual q JOIN lang l USING (doc_id)
+  WHERE q.quality >= 0.9 AND q.n_tokens >= 20 AND l.pred_lang = 'en'
+),
+keepers AS (
+  SELECT c.comp, min(g.doc_id) AS keeper
+  FROM clusters c JOIN gated g ON g.doc_id = c.node GROUP BY c.comp
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -884,38 +941,48 @@ SELECT doc_id,
        round(best, 6) AS lang_score
 FROM best_t""",
         "curate_corpus": f"""
-WITH RECURSIVE {_sql_lsh_ctes()},
-{_CC_CTES},
-qual AS (
-  SELECT d.doc_id, len(t.toks) AS n_tokens,
-  round(
-    least(len(t.toks)::DOUBLE / 20.0, 1.0) * 0.5
-    + (1.0 - least((CASE WHEN length(d.text) > 0
-         THEN length(regexp_replace(d.text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE / length(d.text)
-         ELSE 0.0 END) * 4.0, 1.0)) * 0.25
-    + (1.0 - least((CASE WHEN length(d.text) > 0
-         THEN length(regexp_replace(d.text, '[^A-Z]', '', 'g'))::DOUBLE / length(d.text)
-         ELSE 0.0 END) * 4.0, 1.0)) * 0.25, 6) AS quality
-  FROM documents d JOIN tok t USING (doc_id)
-),
-scored AS (SELECT doc_id, {lang_score_cols} FROM tok),
-best_t AS (SELECT doc_id, s_de, s_en, s_es, s_fr,
-           greatest(s_de, s_en, s_es, s_fr) AS best FROM scored),
-lang AS (SELECT doc_id, CASE WHEN best <= 0 THEN 'und' {lang_case} END AS pred_lang FROM best_t),
-gated AS (
-  SELECT q.doc_id, q.n_tokens, q.quality, l.pred_lang
-  FROM qual q JOIN lang l USING (doc_id)
-  WHERE q.quality >= 0.9 AND q.n_tokens >= 20 AND l.pred_lang = 'en'
-),
-keepers AS (
-  SELECT c.comp, min(g.doc_id) AS keeper
-  FROM clusters c JOIN gated g ON g.doc_id = c.node GROUP BY c.comp
-)
+WITH RECURSIVE {_curate_ctes(lang_score_cols, lang_case)}
 SELECT g.doc_id, g.n_tokens, g.quality, g.pred_lang
 FROM gated g
 LEFT JOIN clusters c ON g.doc_id = c.node
 LEFT JOIN keepers k ON c.comp = k.comp
 WHERE c.node IS NULL OR g.doc_id = k.keeper""",
+        "prep_pipeline": f"""
+WITH RECURSIVE {_curate_ctes(lang_score_cols, lang_case)},
+survivors AS (
+  SELECT g.doc_id, g.quality, g.pred_lang
+  FROM gated g
+  LEFT JOIN clusters c ON g.doc_id = c.node
+  LEFT JOIN keepers k ON c.comp = k.comp
+  WHERE c.node IS NULL OR g.doc_id = k.keeper
+),
+sampled AS (
+  SELECT * FROM survivors
+  WHERE ('0x' || substr(md5('prep:' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+        < {int(round(PREP_SAMPLE_RATE * 1_000_000))}
+),
+cb AS (
+  SELECT t.doc_id, s.quality, s.pred_lang, t.toks, len(t.toks)::BIGINT AS n
+  FROM tok t JOIN sampled s USING (doc_id)
+),
+cst AS (
+  SELECT doc_id, quality, pred_lang, toks,
+         unnest(generate_series(
+           0,
+           greatest(0, (ceil((n - {CHUNK_SIZE}) / {CHUNK_SIZE - CHUNK_OVERLAP}.0))::BIGINT
+                       * {CHUNK_SIZE - CHUNK_OVERLAP}),
+           {CHUNK_SIZE - CHUNK_OVERLAP})) AS start
+  FROM cb
+),
+cw AS (
+  SELECT doc_id, quality, pred_lang,
+         (start // {CHUNK_SIZE - CHUNK_OVERLAP})::INT AS chunk_id, start::BIGINT AS start,
+         list_slice(toks, start + 1, start + {CHUNK_SIZE}) AS w
+  FROM cst
+)
+SELECT doc_id, quality, pred_lang, chunk_id, start,
+       len(w)::BIGINT AS n_tokens, array_to_string(w, ' ') AS chunk_text
+FROM cw""",
         "repetition_features": f"""
 WITH {_TOK_CTE},
 ln AS (

@@ -34,12 +34,15 @@ def chunk_documents(
     overlap: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, chunk_id, start, n_tokens, chunk_text): sliding windows of
     ``size`` tokens every ``size - overlap`` tokens.  ``chunk_id`` counts
     from 0 per doc; ``start`` is the 0-based token offset; ``chunk_text``
     re-joins the window's tokens with single spaces (normalized text — the
-    analyzer already lowercased and split it)."""
+    analyzer already lowercased and split it).  ``passthrough`` columns are
+    carried doc-grain onto every chunk row (the same no-re-join chaining
+    convention as the textstats ops)."""
     if not 0 <= overlap < size:
         raise ValueError(f"need 0 <= overlap < size, got size={size} overlap={overlap}")
     stride = size - overlap
@@ -50,22 +53,26 @@ def chunk_documents(
     last = F.greatest(
         F.lit(0), F.ceil((n - F.lit(size)) / F.lit(stride)).cast("long") * stride
     )
+    pt = list(passthrough)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
+        *pt,
         toks.alias("_toks"),
         F.sequence(F.lit(0).cast("long"), last, F.lit(stride).cast("long")).alias("_starts"),
     )
     pos = F.posexplode("_starts")
     return (
-        base.select("doc_id", "_toks", pos.alias("chunk_id", "start"))
+        base.select("doc_id", *pt, "_toks", pos.alias("chunk_id", "start"))
         .select(
             "doc_id",
+            *pt,
             F.col("chunk_id").cast("int").alias("chunk_id"),
             F.col("start").cast("long").alias("start"),
             F.slice("_toks", F.col("start").cast("int") + 1, size).alias("_w"),
         )
         .select(
             "doc_id",
+            *pt,
             "chunk_id",
             "start",
             F.size("_w").cast("long").alias("n_tokens"),

@@ -171,3 +171,59 @@ def test_quantized_cosine_topk_close_to_float(spark):
         ) else None
         if ex is not None:
             assert r["cos"] == pytest.approx(ex, abs=0.01)
+
+
+# ---------------------------------------------------------------------------
+# prep_training_corpus (composed pipeline)
+
+
+def test_chunk_passthrough_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e", 0.9), (2, "f g", 0.5)],
+        "doc_id INT, text STRING, quality DOUBLE",
+    )
+    got = chunk.chunk_documents(df, size=3, overlap=1, passthrough=("quality",)).collect()
+    assert {r["doc_id"] for r in got} == {1, 2}
+    for r in got:
+        assert r["quality"] == (0.9 if r["doc_id"] == 1 else 0.5)
+    assert list(got[0].asDict()) == [
+        "doc_id", "quality", "chunk_id", "start", "n_tokens", "chunk_text",
+    ]
+
+
+def test_prep_pipeline_composition(spark):
+    from splade_easy_spark.ops.pipeline import prep_training_corpus
+    from splade_easy_spark.ops.curate import curate_corpus
+    from splade_easy_spark.ops.sample import sample_gate
+    from pyspark.sql import functions as F
+
+    # english-ish docs that pass quality/length gates, plus junk that fails
+    good = "the and for with that this from they have words more tokens " * 3
+    rows = [(i, good + f" tail{i}") for i in range(1, 9)]
+    rows += [(100, "short"), (101, "el gato perro casa " * 10)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+    out = prep_training_corpus(
+        df, sample_rate=0.6, sample_seed="prep", chunk_size=10, chunk_overlap=2,
+        min_quality=0.5, min_tokens=10, lang="en",
+    ).collect()
+
+    survivors = {
+        r["doc_id"]
+        for r in curate_corpus(df, min_quality=0.5, min_tokens=10, lang="en").collect()
+    }
+    sampled = {
+        r["doc_id"]
+        for r in df.where(sample_gate(F.col("doc_id"), 0.6, "prep")).collect()
+    }
+    expect_docs = survivors & sampled
+    assert {r["doc_id"] for r in out} == expect_docs and expect_docs
+    # chunk grain matches the standalone chunker on the same subset
+    sub = df.where(F.col("doc_id").isin(list(expect_docs)))
+    standalone = chunk.chunk_documents(sub, size=10, overlap=2).collect()
+    assert sorted((r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in out) == sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in standalone
+    )
+    # passthrough metadata is doc-constant and present on every chunk row
+    for r in out:
+        assert r["pred_lang"] == "en" and 0.5 <= r["quality"] <= 1.0
