@@ -210,6 +210,14 @@ def append_documents(
     man = cat.manifest
     t0 = time.time()
     _repair_pending(spark, cat)
+    # a migrate_postings that crashed between its dir swap and its stage
+    # commit leaves postings physically term_id-keyed while the layout
+    # flag below still says string keys — packing by the stale flag would
+    # write mixed-schema blocks whose docs never match the term_id-
+    # filtered scan.  Heal (journal-witnessed) or raise before packing.
+    from splade_easy_spark.index.maintenance import heal_interrupted_migration
+
+    heal_interrupted_migration(spark, cat)
     stats = cat.corpus_stats(spark)
     n_docs_frozen, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 1.0)
     next_int = man.data.get("next_doc_int")

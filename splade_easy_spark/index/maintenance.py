@@ -214,12 +214,17 @@ def _fresh_lineage(cat: IndexCatalog, name: str) -> list[dict] | None:
     info = man.data.get("tables", {}).get(name)
     if not info:
         return None
-    if man.data.get("pending_append") or man.data.get("pending_maintenance"):
-        # mid-append, or a maintenance op crashed after its swaps landed
-        # but before record_stage re-recorded lineage (the files on disk
-        # are the POST-rewrite set while the lineage still describes the
-        # pre-rewrite files — round-5 ADVICE low): never trust it
+    if man.data.get("pending_append"):
         return None
+    for e in man.pending_maintenance_entries():
+        # a maintenance op crashed after its swaps landed but before
+        # record_stage re-recorded lineage (the files on disk are the
+        # POST-rewrite set while the lineage still describes the
+        # pre-rewrite files — round-5 ADVICE low): never trust a table the
+        # entry declared at-risk.  Legacy entries carry no table list and
+        # distrust everything.
+        if "tables" not in e or name in e["tables"]:
+            return None
     stages = [
         s
         for s in man.data.get("stages", {}).values()
@@ -264,22 +269,70 @@ def _pack_layout(cat: IndexCatalog) -> tuple[dict, str]:
     )
 
 
-def _journal_maintenance(man, op: str) -> None:
-    """Durable marker that a maintenance op is about to swap table dirs in.
-    A crash AFTER a swap lands but BEFORE ``record_stage`` re-records
-    lineage leaves the manifest's per-file lineage describing the
-    pre-rewrite files with no append entry to mark it stale — ``stats()``
-    would report just-compacted rows and ``optimize_postings`` would size
-    partitions from ghosts (round-5 ADVICE low).  ``_fresh_lineage``
-    treats the marker's presence as lineage-stale, mirroring
-    ``pending_append``; ``record_stage`` clears it atomically with the
-    fresh lineage."""
-    man.data["pending_maintenance"] = {
-        "op": op,
-        "at": time.time(),
-        "seq": man.next_seq(),
-    }
-    man.save()
+def _journal_maintenance(man, op: str, tables: list[str]) -> int:
+    """Durable journal entry that a maintenance op is about to swap the
+    named tables' dirs in.  A crash AFTER a swap lands but BEFORE
+    ``record_stage`` re-records lineage leaves the manifest's per-file
+    lineage describing the pre-rewrite files with no append entry to mark
+    it stale — ``stats()`` would report just-compacted rows and
+    ``optimize_postings`` would size partitions from ghosts (round-5
+    ADVICE low).  ``_fresh_lineage`` treats a table's presence in any
+    entry as lineage-stale, mirroring ``pending_append``; a table leaves
+    the journal only when a later stage commit records its CURRENT
+    lineage (``record_stage``) or the owning op withdraws its entry after
+    skipping every swap — so a different op completing cannot launder a
+    crashed op's stale tables (round-5 review finding).  Returns the
+    entry seq (the owner's withdrawal handle)."""
+    return man.journal_maintenance(op, tables)
+
+
+def heal_interrupted_migration(spark: SparkSession, cat: IndexCatalog) -> bool:
+    """Detect and finish a ``migrate_postings`` whose dir swaps landed but
+    whose stage commit did not (round-5 review finding): the postings are
+    physically ``term_id``-keyed while the recorded layout still claims
+    string keys, so the NEXT append would pack string-keyed blocks into
+    the term_id table — mixed schemas, and every appended doc's postings
+    silently unmatched by the term_id-filtered WAND scan.  The pending
+    ``migrate_postings`` journal entry is the witness that the swapped
+    files are a completed, collision-gated rewrite; healing = finishing
+    the layout flip + stage commit exactly as migrate would have.  A
+    physical/recorded mismatch WITHOUT that witness is unknown state and
+    raises instead of guessing.  Returns True when it healed."""
+    man = cat.manifest
+    lay = man.data.setdefault("layout", {})
+    flag = bool(lay.get("postings_term_ids"))
+    pdir = Path(cat.table_dir("postings"))
+    if not pdir.exists():
+        return False
+    try:
+        physical = "term_id" in spark.read.parquet(str(pdir)).columns
+    except Exception:
+        return False  # empty/unreadable dir: nothing to protect yet
+    if physical == flag:
+        return False
+    witness = any(
+        e.get("op") == "migrate_postings"
+        for e in man.pending_maintenance_entries()
+    )
+    if physical and not flag and witness:
+        lay["postings_term_ids"] = True
+        lay["term_id_seed"] = int(cat.config.term_id_seed)
+        lay["pack_cosine"] = bool(
+            lay.get("pack_cosine", cat.config.pack_cosine)
+        ) and ("norm" in cat.read(spark, "doc_terms").columns)
+        man.record_stage(
+            "migrate",
+            {"term_stats": "term_stats", "postings": "postings"},
+            {"healed_interrupted_migration": True},
+        )
+        return True
+    raise RuntimeError(
+        f"postings are physically {'term_id' if physical else 'string'}-keyed "
+        f"but the recorded layout says postings_term_ids={flag}, and no "
+        "pending migrate_postings journal explains it — refusing to write "
+        "mixed-schema blocks; investigate, then restore the table or re-run "
+        "migrate_postings"
+    )
 
 
 def _repair_pending_for_maintenance(spark: SparkSession, cat: IndexCatalog) -> None:
@@ -288,10 +341,40 @@ def _repair_pending_for_maintenance(spark: SparkSession, cat: IndexCatalog) -> N
     runs into blocks that SPAN the journaled doc_int range, breaking the
     reader-side exclusion predicate's no-spanning invariant (which only
     needs to hold while the journal exists — once the repair tombstones
-    the orphans, exact doc_int masking takes over and spanning is fine)."""
+    the orphans, exact doc_int masking takes over and spanning is fine).
+    A half-committed layout migration is healed here too, for the same
+    reason: rewrites must see the true layout before repacking anything."""
     from splade_easy_spark.index.append import _repair_pending
 
+    # settle crashed-swap dirs FIRST so everything below sees final state
+    heal_interrupted_swaps(cat.index_dir)
     _repair_pending(spark, cat)
+    heal_interrupted_migration(spark, cat)
+    # Single-writer contract: any journal entry still present belongs to a
+    # CRASHED op, and with swaps settled the on-disk dirs ARE that op's
+    # final state.  Re-recording current lineage for its tables is a true
+    # statement that both heals the staleness (stats/optimize trust real
+    # files again instead of listing) and retires the entries — without
+    # it, a crashed compact's docs entry would outlive every later op,
+    # since only compact re-records docs and compact early-returns once
+    # the tombstones are gone.  Size-only lineage: hashing whole tables
+    # through the driver per heal would be O(table bytes).
+    man = cat.manifest
+    stale = sorted(
+        {
+            t
+            for e in man.pending_maintenance_entries()
+            for t in e.get("tables", [])
+            if Path(cat.table_dir(t)).exists()
+        }
+    )
+    if stale:
+        man.record_stage(
+            "maintenance_heal",
+            {t: t for t in stale},
+            {"healed_pending": stale},
+            checksum=False,
+        )
 
 
 def delete(spark: SparkSession, index_dir: str, doc_ids: list[str]) -> int:
@@ -344,7 +427,7 @@ def compact(spark: SparkSession, index_dir: str, config: IndexConfig | None = No
     ).sortWithinPartitions(tkey, "block_id")
     packed.write.partitionBy("seg").parquet(cat.table_dir("postings") + "__rewrite")
 
-    _journal_maintenance(cat.manifest, "compact")
+    _journal_maintenance(cat.manifest, "compact", ["docs", "doc_terms", "postings"])
     for t in ["docs", "doc_terms", "postings"]:
         _swap_in(cat, t)
     shutil.rmtree(cat.table_dir("deleted"), ignore_errors=True)
@@ -399,7 +482,7 @@ def reshard(
     packed.write.partitionBy("seg").parquet(cat.table_dir("postings") + "__rewrite")
     man = cat.manifest
     prior_layout = dict(man.data.get("layout", {}))
-    _journal_maintenance(man, "reshard")
+    _journal_maintenance(man, "reshard", ["doc_terms", "postings"])
     for t in ["doc_terms", "postings"]:
         _swap_in(cat, t, keep_old=keep_originals)
 
@@ -426,7 +509,7 @@ def rollback_reshard(index_dir: str) -> dict:
     cat = IndexCatalog(index_dir)
     man = cat.manifest
     backup = man.data.pop("reshard_backup", None)
-    _journal_maintenance(man, "rollback_reshard")
+    pend_seq = _journal_maintenance(man, "rollback_reshard", ["doc_terms", "postings"])
     restored = []
     for t in ["doc_terms", "postings"]:
         live = Path(cat.table_dir(t))
@@ -446,9 +529,9 @@ def rollback_reshard(index_dir: str) -> dict:
         restored.append(t)
     if not restored:
         # nothing was renamed (every backup dir was missing): the journaled
-        # swap window never opened, so lineage is still accurate
-        man.data.pop("pending_maintenance", None)
-        man.save()
+        # swap window never opened, so withdraw only OUR entry (a foreign
+        # crashed op's entry keeps its tables stale)
+        man.clear_maintenance(pend_seq)
         raise FileNotFoundError(f"no __backup dirs under {index_dir} to roll back")
     if backup and backup.get("layout"):
         man.data["layout"] = backup["layout"]
@@ -539,6 +622,10 @@ def migrate_postings(
     if lay.get("postings_term_ids"):
         return {"migrated": False, "reason": "already term_id layout"}
     _repair_pending_for_maintenance(spark, cat)
+    if lay.get("postings_term_ids"):
+        # the repair found this migration's own swaps already on disk
+        # (crash between swap and stage commit) and finished the commit
+        return {"migrated": True, "healed_interrupted_migration": True}
     _gc_rewrite_dirs(cat)
     t0 = time.time()
     seed = int(cat.config.term_id_seed)
@@ -565,7 +652,7 @@ def migrate_postings(
     ).sortWithinPartitions("term_id", "block_id")
     packed.write.partitionBy("seg").parquet(cat.table_dir("postings") + "__rewrite")
 
-    _journal_maintenance(man, "migrate_postings")
+    _journal_maintenance(man, "migrate_postings", ["term_stats", "postings"])
     for t in ["term_stats", "postings"]:
         _swap_in(cat, t)
     lay["postings_term_ids"] = True
@@ -645,6 +732,7 @@ def optimize_postings(
     seg_files = _partition_file_counts("postings", "seg", post_dir)
     frag_segs = sorted(s for s, n in seg_files.items() if n >= min_files)
     rewritten_segs = 0
+    pend_seqs: list[int] = []
     if frag_segs:
         src = cat.read(spark, "postings").where(F.col("seg").isin(frag_segs))
         # pre-nwts indexes (built before the cosine stream existed) have no
@@ -746,7 +834,7 @@ def optimize_postings(
             .write.partitionBy("seg")
             .parquet(str(staged))
         )
-        _journal_maintenance(man, "optimize")
+        pend_seqs.append(_journal_maintenance(man, "optimize", ["postings"]))
         # per-partition swap: only the fragmented seg dirs move
         for s in frag_segs:
             new = staged / f"seg={s}"
@@ -770,8 +858,7 @@ def optimize_postings(
             .write.partitionBy("tb")
             .parquet(str(staged))
         )
-        if not man.data.get("pending_maintenance"):
-            _journal_maintenance(man, "optimize")
+        pend_seqs.append(_journal_maintenance(man, "optimize", ["doc_terms"]))
         for t in frag_tbs:
             new = staged / f"tb={t}"
             if not new.exists():
@@ -796,8 +883,12 @@ def optimize_postings(
             metrics,
             checksum=False,
         )
-    elif man.data.pop("pending_maintenance", None):
+    else:
         # every staged swap was skipped (e.g. a concurrent reader's heal
-        # won each race): the live dirs are unchanged, lineage still holds
-        man.save()
+        # won each race): the live dirs are unchanged, so withdraw ONLY
+        # this op's own journal entries — a foreign crashed op's entry
+        # must survive (its tables really are stale) until a commit
+        # re-records them
+        for s in pend_seqs:
+            man.clear_maintenance(s)
     return metrics

@@ -128,6 +128,46 @@ class Manifest:
         self.data["seq"] = int(self.data.get("seq", 0)) + 1
         return self.data["seq"]
 
+    # -- maintenance journal --------------------------------------------
+    def pending_maintenance_entries(self) -> list[dict]:
+        """The pending-maintenance journal as a list (a dict is the legacy
+        single-marker format written before the per-table protocol)."""
+        pend = self.data.get("pending_maintenance")
+        if not pend:
+            return []
+        return [pend] if isinstance(pend, dict) else list(pend)
+
+    def journal_maintenance(self, op: str, tables: list[str]) -> int:
+        """Append a journal entry declaring which tables' lineage the op's
+        imminent dir swaps will invalidate.  Entries are per-op (a second
+        op crashing cannot be healed by a first op's commit): each lives
+        until every one of its tables has fresh post-swap lineage recorded
+        (``record_stage``), or until its owner withdraws it
+        (``clear_maintenance`` — no swaps happened).  Returns the entry's
+        seq (the owner's handle)."""
+        entries = self.pending_maintenance_entries()
+        seq = self.next_seq()
+        entries.append(
+            {"op": op, "tables": sorted(tables), "at": time.time(), "seq": seq}
+        )
+        self.data["pending_maintenance"] = entries
+        self.save()
+        return seq
+
+    def clear_maintenance(self, seq: int) -> None:
+        """Withdraw ONE journal entry by its seq — only the op that created
+        it may call this (its swaps were all skipped, so the lineage it
+        declared at-risk was never touched).  Foreign entries from other
+        crashed ops stay: their tables remain stale until re-recorded."""
+        entries = [
+            e for e in self.pending_maintenance_entries() if e.get("seq") != seq
+        ]
+        if entries:
+            self.data["pending_maintenance"] = entries
+        else:
+            self.data.pop("pending_maintenance", None)
+        self.save()
+
     def record_stage(
         self,
         stage: str,
@@ -150,9 +190,24 @@ class Manifest:
             "seq": self.next_seq(),
             "metrics": metrics or {},
         }
-        # the stage commit records post-maintenance lineage — the swap
-        # window it was journaled for is over (see maintenance ops)
-        self.data.pop("pending_maintenance", None)
+        # The stage commit just recorded CURRENT on-disk lineage for its
+        # tables, so those tables leave every pending-maintenance entry —
+        # including a foreign crashed op's (the fresh recording supersedes
+        # whatever that op's swaps did to the same table).  Tables the
+        # commit did NOT cover stay journaled: a completed optimize must
+        # not re-trust the docs lineage a crashed compact invalidated.
+        entries = []
+        for e in self.pending_maintenance_entries():
+            left = [t for t in e.get("tables", []) if t not in tables]
+            if left and e.get("tables"):
+                entries.append({**e, "tables": left})
+            # legacy dict-format markers carry no tables list: dropped on
+            # any stage commit (the pre-round-5 behavior they were written
+            # under)
+        if entries:
+            self.data["pending_maintenance"] = entries
+        else:
+            self.data.pop("pending_maintenance", None)
         self.save()
 
     def drop_stage(self, stage: str) -> None:

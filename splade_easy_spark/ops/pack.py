@@ -40,9 +40,8 @@ from pyspark.sql import functions as F
 from splade_easy_spark.functions.text import tokenize
 from splade_easy_spark.ops.dedup import md5_hash64
 
-_OUT_SCHEMA = (
-    "bucket int, doc_id long, seq_id long, offset long, n_tokens long"
-)
+def _out_schema(id_type: str) -> str:
+    return f"bucket int, doc_id {id_type}, seq_id long, offset long, n_tokens long"
 
 
 def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -85,12 +84,16 @@ def pack_sequences(
     """(bucket, doc_id, seq_id, offset, n_tokens): greedy token-budget
     packing as documented above.  ``seq_id`` counts from 0 within each
     bucket; ``offset`` is the doc's start position inside its sequence."""
+    # the id keeps its source type (a long cast would silently NULL string
+    # ids like this repo's own "conv…#turn" doc_ids); within-bucket order is
+    # the id's natural ascending order in that type
+    id_type = docs.schema[id_col].dataType.simpleString()
     base = docs.select(
         F.pmod(md5_hash64(F.col(id_col).cast("string"), seed), F.lit(n_buckets))
         .cast("int")
         .alias("bucket"),
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
         F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"),
         F.lit(int(budget)).alias("budget"),
     )
-    return base.groupBy("bucket").applyInPandas(_pack_bucket, _OUT_SCHEMA)
+    return base.groupBy("bucket").applyInPandas(_pack_bucket, _out_schema(id_type))

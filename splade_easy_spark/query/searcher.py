@@ -25,6 +25,7 @@ harness compares tie groups as sets (SURVEY.md §7).
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass
 
@@ -199,6 +200,13 @@ class Searcher:
         """
         if self._tb_cache != "unset":
             return self._tb_cache  # type: ignore[return-value]
+        if self._snapshot_max is None:
+            # legacy snapshot-less index: reads are unbounded, so a term
+            # appended AFTER this cache is built would serve postings while
+            # the cache calls it OOV — the exactness proof above needs the
+            # as-of-open bound.  No bounds, no pruning, no OOV drop.
+            self._tb_cache = None
+            return None
         if self.cat.table_rows("term_stats") > self.TERM_BOUNDS_MAX_VOCAB:
             self._tb_cache = None
             return None
@@ -431,9 +439,23 @@ class Searcher:
                     if kept and prune_below > 0.0:
                         # per-query relative cut on qweight·global-bound —
                         # approximate by design (see docstring); in cosine
-                        # mode the BM25 bounds order terms heuristically
-                        thr = prune_below * max(w * bounds[t] for t, w in kept)
-                        kept = [(t, w) for t, w in kept if w * bounds[t] >= thr]
+                        # mode the BM25 bounds order terms heuristically.
+                        # Terms with an unknown (inf) bound never set the
+                        # threshold and are never cut: one NULL-stat term
+                        # must not make thr=inf and evict every other term.
+                        finite = [
+                            w * bounds[t]
+                            for t, w in kept
+                            if math.isfinite(bounds[t])
+                        ]
+                        if finite:
+                            thr = prune_below * max(finite)
+                            kept = [
+                                (t, w)
+                                for t, w in kept
+                                if not math.isfinite(bounds[t])
+                                or w * bounds[t] >= thr
+                            ]
                     if kept:
                         pruned_qt[qid] = kept
                 qt = pruned_qt

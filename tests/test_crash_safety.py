@@ -622,11 +622,21 @@ def test_maintenance_crash_before_record_stage_marks_lineage_stale(
     assert _fresh_lineage(cat, "docs") is None  # never trust pre-compact lineage
     assert stats(spark, idx)["num_docs"] == n0 - 5  # counted from disk
 
-    # the next completed maintenance commit clears the marker
+    # the next maintenance op's writer-side repair re-records CURRENT
+    # lineage for every journaled table (single-writer contract: the
+    # crashed op's swaps are final once interrupted-swap heal settles),
+    # so the journal clears AND docs lineage now tells the post-compact
+    # truth — the ghost count can no longer come back.  Round-5 review:
+    # the old whole-marker pop let optimize clear compact's entry WITHOUT
+    # re-recording docs, resurrecting the pre-compact ghost lineage.
     optimize_postings(spark, idx, CFG, min_files=1)
     cat2 = IndexCatalog(idx, CFG)
-    assert "pending_maintenance" not in cat2.manifest.data
+    assert cat2.manifest.pending_maintenance_entries() == []
     assert _fresh_lineage(cat2, "postings") is not None
+    assert _fresh_lineage(cat2, "doc_terms") is not None
+    docs_lineage = _fresh_lineage(cat2, "docs")
+    assert docs_lineage is not None  # healed: describes post-compact files
+    assert stats(spark, idx)["num_docs"] == n0 - 5  # fast path, true count
 
 
 def test_seq_orders_equal_timestamp_events(spark, tmp_path):
@@ -657,3 +667,91 @@ def test_seq_orders_equal_timestamp_events(spark, tmp_path):
     assert all("seq" in s for s in cat2.manifest.data["stages"].values())
     assert all("seq" in a for a in cat2.manifest.data["appends"])
     assert _fresh_lineage(cat2, "postings") is None
+
+
+def test_migrate_crash_between_swap_and_commit_heals(spark, tmp_path, monkeypatch):
+    """Round-5 review HIGH: a migrate_postings whose dir swaps land but
+    whose stage commit doesn't leaves postings physically term_id-keyed
+    while the recorded layout still says string keys.  The next append
+    must NOT trust the stale flag (string-keyed blocks in a term_id table
+    would be silently unsearchable under the term_id-filtered scan): the
+    pending migrate journal entry is the witness, and every writer-side
+    entry point finishes the flag flip + stage commit before packing."""
+    from splade_easy_spark.index.builder import pack_doc_terms
+    from splade_easy_spark.index.maintenance import migrate_postings
+    from splade_easy_spark.index.manifest import Manifest
+
+    idx = str(tmp_path / "legacy")
+    build_index(spark, generate_transcripts(spark, num_convs=6, seed=91), idx, CFG)
+    # rewrite to the pre-term_id layout (same recipe as test_term_ids)
+    dt = spark.read.parquet(f"{idx}/doc_terms")
+    legacy = pack_doc_terms(
+        dt.select("term", "doc_int", "weight", "norm"),
+        CFG.segment_docs, CFG.block_size, term_ids=False,
+    )
+    staging = str(tmp_path / "legacy_postings")
+    legacy.write.partitionBy("seg").parquet(staging)
+    shutil.rmtree(Path(idx) / "postings")
+    shutil.move(staging, Path(idx) / "postings")
+    ts_staging = str(tmp_path / "legacy_ts")
+    spark.read.parquet(f"{idx}/term_stats").drop("term_id").write.parquet(ts_staging)
+    shutil.rmtree(Path(idx) / "term_stats")
+    shutil.move(ts_staging, Path(idx) / "term_stats")
+    man0 = IndexCatalog(idx, CFG).manifest
+    man0.data["layout"].pop("postings_term_ids", None)
+    man0.data["layout"].pop("term_id_seed", None)
+    man0.save()
+
+    real = Manifest.record_stage
+
+    def boom(self, stage, *a, **k):
+        if stage == "migrate":
+            raise RuntimeError("injected crash after migrate swaps")
+        return real(self, stage, *a, **k)
+
+    monkeypatch.setattr(Manifest, "record_stage", boom)
+    with pytest.raises(RuntimeError, match="after migrate swaps"):
+        migrate_postings(spark, idx, CFG)
+    monkeypatch.undo()
+
+    # the dangerous state: physical term_id, recorded flag false, witness entry
+    cat = IndexCatalog(idx, CFG)
+    assert "term_id" in spark.read.parquet(f"{idx}/postings").columns
+    assert not cat.manifest.data["layout"].get("postings_term_ids")
+    assert any(
+        e["op"] == "migrate_postings"
+        for e in cat.manifest.pending_maintenance_entries()
+    )
+
+    # append heals first (journal-witnessed), THEN packs — term_id blocks only
+    append_documents(
+        spark, idx, generate_transcripts(spark, num_convs=2, seed=92), CFG
+    )
+    cat2 = IndexCatalog(idx, CFG)
+    assert cat2.manifest.data["layout"].get("postings_term_ids") is True
+    assert cat2.manifest.pending_maintenance_entries() == []
+    post = spark.read.parquet(f"{idx}/postings")
+    assert "term_id" in post.columns and "term" not in post.columns
+    assert post.where(F.col("term_id").isNull()).count() == 0
+
+    # and the healed index still searches exactly (WAND == SQL)
+    s = Searcher(spark, idx, CFG)
+    w = [(r["doc_id"], round(r["score"], 5)) for r in s.search("baba0 ceba1", 10, method="wand").collect()]
+    q = [(r["doc_id"], round(r["score"], 5)) for r in s.search("baba0 ceba1", 10, method="sql").collect()]
+    assert w == q
+
+
+def test_layout_mismatch_without_witness_raises(spark, tmp_path):
+    """A physical/recorded postings-key mismatch with NO pending migrate
+    journal is unknown state: writers refuse loudly instead of guessing."""
+    from splade_easy_spark.index.maintenance import heal_interrupted_migration
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, generate_transcripts(spark, num_convs=4, seed=93), idx, CFG)
+    cat = IndexCatalog(idx, CFG)
+    # flip the flag out from under the (term_id-keyed) table
+    cat.manifest.data["layout"]["postings_term_ids"] = False
+    cat.manifest.save()
+    cat2 = IndexCatalog(idx, CFG)
+    with pytest.raises(RuntimeError, match="refusing to write mixed-schema"):
+        heal_interrupted_migration(spark, cat2)
