@@ -64,6 +64,8 @@ SAMPLE_DEFAULT = 0.1
 # 0.746-0.804 — this threshold drops roughly half of them (exercising the
 # max-df stopword filter) while keeping a meaty ~16-row vocabulary.
 VOCAB_MIN_DF, VOCAB_MAX_DF_FRAC, VOCAB_MAX_SIZE = 2, 0.78, 200
+TEMP_ALPHA = 0.5
+SOURCE_CAP = 10
 PACK_BUDGET, PACK_BUCKETS = 200, 8
 # ~100-token docs with size 40 / stride 32 → 3 overlapping chunks per doc
 CHUNK_SIZE, CHUNK_OVERLAP = 40, 8
@@ -500,6 +502,26 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+def q_temperature_mix(spark, sf_dir):
+    """T5-style temperature re-weighting over the skewed lang column
+    (alpha=0.5, downsample-only): post-sample counts ∝ n_lang^0.5, the
+    smallest lang kept whole.  Strata-count agg + broadcast rate join +
+    the same deterministic hash gate as stratified_sample
+    (ops.sample.temperature_mix)."""
+    out = sample.temperature_mix(_docs(spark, sf_dir), "lang", alpha=TEMP_ALPHA)
+    return out.select("doc_id", "lang")
+
+
+def q_source_cap(spark, sf_dir):
+    """Per-domain contribution cap (C4/RefinedWeb-style): at most 10 docs
+    per source, selected as the 10 smallest deterministic hashes (retry-
+    and layout-stable).  Hash-prefix pre-gate bounds every window
+    partition to ~overshoot*cap rows regardless of domain size, with an
+    unconditional exactness check (ops.sample.source_cap)."""
+    out = sample.source_cap(_docs(spark, sf_dir), "source", cap=SOURCE_CAP)
+    return out.select("doc_id", "source")
+
+
 def q_vocab_topn(spark, sf_dir):
     """Vocabulary build: df-thresholded (min_df=2, max_df_frac=0.78) top-200
     terms with dense deterministic ids (df desc, term asc) —
@@ -766,6 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_features": q_repetition,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "temperature_mix": q_temperature_mix,
+        "source_cap": q_source_cap,
         "vocab_topn": q_vocab_topn,
         "pii_scan": q_pii_scan,
         "pack_sequences": q_pack_sequences,
@@ -1043,6 +1067,21 @@ FROM shb s LEFT JOIN hits h USING (doc_id) WHERE NOT s.is_ref""",
 SELECT doc_id, lang, source FROM documents
 WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
       < {_sql_sample_threshold()}""",
+        "temperature_mix": f"""
+WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+k AS (SELECT min(pow(n, {1.0 - TEMP_ALPHA})) AS k FROM c),
+r AS (SELECT c.lang,
+        CAST(round(least(1.0, k.k * pow(c.n, {TEMP_ALPHA - 1.0})) * 1000000, 0) AS BIGINT) AS thr
+      FROM c, k)
+SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+WHERE ('0x' || substr(md5('sample:' || d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 < r.thr""",
+        "source_cap": f"""
+WITH h AS (SELECT doc_id, source,
+        ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 AS _h
+      FROM documents),
+rk AS (SELECT doc_id, source,
+        row_number() OVER (PARTITION BY source ORDER BY _h, doc_id) AS rk FROM h)
+SELECT doc_id, source FROM rk WHERE rk <= {SOURCE_CAP}""",
         "vocab_topn": f"""
 WITH {_TOK_CTE},
 tt AS (SELECT doc_id, term, count(*)::INT AS tf

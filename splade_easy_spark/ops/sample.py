@@ -67,6 +67,131 @@ def stratified_sample(
     return df.where(bucket < rate)
 
 
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: str = "sample",
+    hash_fn=md5_hash64,
+) -> DataFrame:
+    """Temperature-based source re-weighting (the T5/multilingual-LM mix):
+    downsample so post-sample counts are proportional to ``n_s^alpha``
+    (``alpha < 1`` flattens the source distribution toward uniform,
+    ``alpha = 1`` is a no-op).  Downsample-only — no row is ever
+    duplicated — so the realized mix is ``m_s = k * n_s^alpha`` with
+    ``k = min_s n_s^(1-alpha)``: the smallest stratum keeps rate 1.0 and
+    every larger one is gated down toward the temperature distribution.
+
+    All in one plan: a strata-grain count agg (tiny — strata cardinality),
+    a 1-row global min for ``k``, a broadcast join of the per-stratum
+    rates back onto the scan, and the same deterministic hash gate as
+    ``stratified_sample`` (stable under retries, nested across alphas in
+    the same hash space).  The only full-data pass is the final gated
+    scan; nothing about the plan changes at 1000 executors.
+
+    Rates are rounded to the gate's 1e-6 grain *before* the compare so an
+    oracle restating the same arithmetic (e.g. DuckDB ``pow``) cannot
+    diverge on a final-ulp difference.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    k = counts.agg(
+        F.min(F.pow(F.col("_n").cast("double"), F.lit(1.0 - alpha))).alias("_k")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(k))
+        .select(
+            F.col(strata_col),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("_k") * F.pow(F.col("_n").cast("double"), F.lit(alpha - 1.0)),
+                )
+                * _M,
+                0,
+            )
+            .cast("long")
+            .alias("_thr"),
+        )
+    )
+    bucket = F.pmod(hash_fn(F.col(id_col).cast("string"), seed), F.lit(_M))
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(bucket < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def source_cap(
+    df: DataFrame,
+    strata_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    seed: str = "sample",
+    hash_fn=md5_hash64,
+    overshoot: float = 4.0,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum — the per-domain contribution
+    cap every web-corpus pipeline (C4, RefinedWeb) applies so no single
+    domain dominates training.  Selection is the ``cap`` smallest
+    deterministic hashes within each stratum (ties broken by id), i.e. a
+    uniform, retry-stable choice — NOT "first cap rows seen", which would
+    depend on partition layout.
+
+    Scale design: a naive ``row_number() OVER (PARTITION BY source)``
+    sorts every giant domain inside one task.  Instead a *hash-prefix
+    pre-gate* runs first: keep rows with ``hash < overshoot*cap/n_s`` of
+    the hash space (per-stratum thresholds broadcast from a tiny count
+    agg), shrinking each stratum to ~``overshoot*cap`` survivors before
+    the window — partitions stay bounded regardless of domain size.
+    Exactness is unconditional, not probabilistic: the gate keeps a
+    PREFIX of the hash order, so whenever ``>= min(cap, n_s)`` rows
+    survive, the window's top-``cap`` equals the unrestricted top-``cap``;
+    a survivor-count check raises loudly in the astronomically unlikely
+    shortfall (Chernoff bound at overshoot=4) instead of silently
+    under-selecting — re-run with a larger ``overshoot``.
+    """
+    bucket = F.pmod(hash_fn(F.col(id_col).cast("string"), seed), F.lit(_M))
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    thr = counts.select(
+        F.col(strata_col),
+        F.least(
+            F.lit(_M),
+            F.ceil(F.lit(float(overshoot * cap)) * _M / F.col("_n")).cast("long"),
+        ).alias("_gate"),
+        F.col("_n"),
+    )
+    surv = df.withColumn("_h", bucket).join(F.broadcast(thr), strata_col).where(
+        F.col("_h") < F.col("_gate")
+    )
+    # loud exactness check: every stratum must keep >= min(cap, n_s)
+    # survivors for the prefix argument to hold (driver-sized agg).  LEFT
+    # join from the counts frame — a stratum whose survivors are EMPTY
+    # must still be caught, and it has no survivor group to count.
+    short = (
+        counts.join(
+            surv.groupBy(strata_col).agg(F.count("*").alias("_s")),
+            strata_col,
+            "left",
+        )
+        .where(F.coalesce("_s", F.lit(0)) < F.least(F.lit(cap), F.col("_n")))
+        .collect()
+    )
+    if short:
+        raise RuntimeError(
+            f"source_cap pre-gate undershot for strata {[r[0] for r in short]} "
+            f"(survivors < min(cap, n)); re-run with overshoot > {overshoot}"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(F.asc("_h"), F.asc(id_col))
+    return (
+        surv.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap)
+        .drop("_h", "_gate", "_n", "_rk")
+    )
+
+
 def mixture_counts(
     df: DataFrame,
     strata_col: str,

@@ -211,3 +211,73 @@ def test_pack_invariants(spark):
     )
     # seq ids dense from 0
     assert sorted(set(fills)) == list(range(len(fills)))
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix
+
+
+def test_temperature_mix_matches_python_replay(spark, mix_df):
+    # skewed strata: drop most xx/fr rows so lang sizes differ
+    df = mix_df.where((F.col("doc_id") % 4 < 2) | (F.col("doc_id") < 80))
+    counts = {r["lang"]: r["n"] for r in df.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    alpha = 0.5
+    k = min(n ** (1 - alpha) for n in counts.values())
+    thr = {
+        s: int(round(min(1.0, k * n ** (alpha - 1)) * _M)) for s, n in counts.items()
+    }
+    kept = {r["doc_id"] for r in sample.temperature_mix(df, "lang", alpha=alpha).collect()}
+    for r in df.collect():
+        h = int(hashlib.md5(f"sample:{r['doc_id']}".encode()).hexdigest()[:8], 16)
+        assert (r["doc_id"] in kept) == (h % _M < thr[r["lang"]])
+
+
+def test_temperature_mix_smallest_stratum_whole(spark, mix_df):
+    out = sample.temperature_mix(mix_df, "lang", alpha=0.3)
+    n_in = {r["lang"]: r["n"] for r in mix_df.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_out = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    smallest = min(n_in, key=lambda s: (n_in[s], s))
+    assert n_out[smallest] == n_in[smallest]  # rate 1.0: kept whole
+    # alpha=1 is a no-op mix (every rate 1.0)
+    assert sample.temperature_mix(mix_df, "lang", alpha=1.0).count() == mix_df.count()
+
+
+# ---------------------------------------------------------------------------
+# source_cap
+
+
+def test_source_cap_exact_vs_bruteforce(spark, mix_df):
+    df = mix_df.withColumn("source", F.concat(F.lit("s"), (F.col("doc_id") % 5).cast("string")))
+    out = sample.source_cap(df, "source", cap=7)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) == 7 for v in per.values())  # every source has 80 > 7 rows
+    # brute force: 7 smallest (hash, id) per source over the FULL frame
+    for src, ids in per.items():
+        full = [
+            (int(hashlib.md5(f"sample:{r['doc_id']}".encode()).hexdigest()[:8], 16) % _M, r["doc_id"])
+            for r in df.where(F.col("source") == src).collect()
+        ]
+        expect = {d for _, d in sorted(full)[:7]}
+        assert set(ids) == expect
+
+
+def test_source_cap_small_sources_kept_whole(spark, mix_df):
+    # a source with fewer rows than the cap is untouched
+    df = mix_df.withColumn(
+        "source",
+        F.when(F.col("doc_id") < 3, F.lit("tiny")).otherwise(F.lit("big")),
+    )
+    out = sample.source_cap(df, "source", cap=10)
+    got = {r["source"] for r in out.collect()}, out.where(F.col("source") == "tiny").count()
+    assert got == ({"tiny", "big"}, 3)
+    assert out.where(F.col("source") == "big").count() == 10
+
+
+def test_source_cap_undershoot_raises(spark, mix_df):
+    df = mix_df.withColumn("source", F.lit("only"))
+    with pytest.raises(RuntimeError, match="pre-gate undershot"):
+        # overshoot so small the gate keeps ~0.4 rows << cap
+        sample.source_cap(df, "source", cap=100, overshoot=0.001)
