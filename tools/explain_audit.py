@@ -202,6 +202,27 @@ def main() -> None:
             formatted(entry.queries()["stratified_sample"](spark, sf_dir)),
         )
     )
+    sections.append(
+        (
+            "temperature_mix — T5-style source re-weighting",
+            "a strata-grain HashAggregate (tiny) feeds the rate derivation; "
+            "the 1-row k-min and the per-stratum thresholds come back as "
+            "BroadcastHashJoin/BroadcastNestedLoopJoin onto the scan — the "
+            "full corpus is touched exactly once, by the gated Filter; no "
+            "corpus-grain Exchange.",
+            formatted(entry.queries()["temperature_mix"](spark, sf_dir)),
+        )
+    )
+    sections.append(
+        (
+            "source_cap — per-domain contribution cap",
+            "counts agg broadcast back as the per-source pre-gate threshold; "
+            "the Window (row_number per source) runs over the gate's "
+            "SURVIVORS only (~overshoot*cap rows per source), so its "
+            "Exchange and sort are bounded regardless of domain skew.",
+            formatted(entry.queries()["source_cap"](spark, sf_dir)),
+        )
+    )
     out = ["# EXPLAIN — headline physical plans", ""]
     out.append(
         "Generated by `python tools/explain_audit.py`; plans from the live "
