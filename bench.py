@@ -237,14 +237,12 @@ def main() -> None:
         # fixed 500-row fixture — measuring it measures job overhead).
         # Added at the END of the suite (round-4 lesson: mid-suite index
         # builds inflate later entries); rows are new in round 5, so
-        # cross-round like-for-like totals should exclude them.
-        from splade_easy_spark.ops import chunk as ops_chunk
-        from splade_easy_spark.ops import lm as ops_lm
-        from splade_easy_spark.ops import pack as ops_pack
-        from splade_easy_spark.ops import pii as ops_pii
-        from splade_easy_spark.ops import quant as ops_quant
-        from splade_easy_spark.ops import sample as ops_sample
-        from splade_easy_spark.ops import vocab as ops_vocab
+        # cross-round like-for-like totals should exclude them.  The op
+        # invocations come from tools/prep_common.prep_bench_ops — the
+        # SAME suite tools/prep_scaling.py measures at two parallelism
+        # levels, so the rows here and the scaling table stay in sync.
+        from splade_easy_spark.data import synthetic_embeddings
+        from tools.prep_common import prep_bench_ops
 
         prep_docs = tx.select(
             (
@@ -260,60 +258,22 @@ def main() -> None:
                 ) + 1).cast("int"),
             ).alias("lang"),
         )
-        t0 = time.time()
-        ops_pii.pii_scan(prep_docs).agg(F.sum("n_pii"), F.count("*")).collect()
-        timings["prep_pii_scan"] = round(time.time() - t0, 3)
-
-        t0 = time.time()
-        ops_chunk.chunk_documents(prep_docs, size=64, overlap=8).agg(
-            F.count("*"), F.sum("n_tokens")
-        ).collect()
-        timings["prep_chunk"] = round(time.time() - t0, 3)
-
-        t0 = time.time()
-        ops_vocab.build_vocab(prep_docs, min_df=2, max_df_frac=0.5).agg(
-            F.count("*")
-        ).collect()
-        timings["prep_vocab"] = round(time.time() - t0, 3)
-
-        t0 = time.time()
-        ops_lm.unigram_logprob(prep_docs).agg(
-            F.avg("avg_logprob"), F.count("*")
-        ).collect()
-        timings["prep_unigram_lm"] = round(time.time() - t0, 3)
-
-        t0 = time.time()
-        ops_pack.pack_sequences(prep_docs, budget=512, n_buckets=64).agg(
-            F.count("*"), F.max("seq_id")
-        ).collect()
-        timings["prep_pack"] = round(time.time() - t0, 3)
-
-        t0 = time.time()
-        ops_sample.stratified_sample(
-            prep_docs, "lang", {"en": 0.8, "de": 0.5, "fr": 0.25}, default_rate=0.1
-        ).agg(F.count("*")).collect()
-        timings["prep_sample"] = round(time.time() - t0, 3)
-
-        # int8 quantization over deterministic synthetic embeddings (the sf
-        # embeddings fixture is 5k rows); generation itself is untimed
+        # int8 quantization input: deterministic synthetic embeddings (the
+        # sf embeddings fixture is 5k rows); generated and staged UNTIMED,
+        # in its own dir (never inside another parquet dataset's root)
         n_emb = int(os.environ.get("SPARK_GRAFT_EMB", "200000"))
-        emb = spark.range(n_emb).select(
-            F.col("id").alias("vec_id"),
-            F.transform(
-                F.sequence(F.lit(1), F.lit(64)),
-                lambda i: (
-                    (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001)) - 1000)
-                    / 1000.0
-                ).cast("float"),
-            ).alias("embedding"),
-        )
-        emb.write.mode("overwrite").parquet(os.path.join(tx_dir, "bench_emb"))
-        emb_t = spark.read.parquet(os.path.join(tx_dir, "bench_emb"))
-        t0 = time.time()
-        ops_quant.quantize_embeddings(emb_t).agg(
-            F.sum("mse"), F.count("*")
-        ).collect()
-        timings["prep_quantize"] = round(time.time() - t0, 3)
+        emb_dir = tempfile.mkdtemp(prefix="bench_emb_", dir=tmp_root)
+        try:
+            synthetic_embeddings(spark, n_emb).write.mode("overwrite").parquet(
+                emb_dir
+            )
+            emb_t = spark.read.parquet(emb_dir)
+            for name, thunk in prep_bench_ops(prep_docs, emb_t):
+                t0 = time.time()
+                thunk()
+                timings[f"prep_{name}"] = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(emb_dir, ignore_errors=True)
         extra["prep_corpus_docs"] = result.n_docs
         extra["prep_emb_rows"] = n_emb
 

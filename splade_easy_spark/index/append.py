@@ -209,14 +209,26 @@ def append_documents(
     cfg = cat.config
     man = cat.manifest
     t0 = time.time()
+    # Settle crashed-swap dirs BEFORE anything reads or writes table dirs:
+    # a maintenance op killed between live.rename(__old) and
+    # staged.rename(live) leaves the live dir missing — without this,
+    # the migration heal below would see "no postings dir" and the
+    # append's write would recreate the table with only this batch's
+    # blocks (the one remaining copy sits in __old until a later GC
+    # deletes it).  Writer-side is the right side under the
+    # single-writer contract.
+    from splade_easy_spark.index.maintenance import (
+        heal_interrupted_migration,
+        heal_interrupted_swaps,
+    )
+
+    heal_interrupted_swaps(cat.index_dir)
     _repair_pending(spark, cat)
     # a migrate_postings that crashed between its dir swap and its stage
     # commit leaves postings physically term_id-keyed while the layout
     # flag below still says string keys — packing by the stale flag would
     # write mixed-schema blocks whose docs never match the term_id-
     # filtered scan.  Heal (journal-witnessed) or raise before packing.
-    from splade_easy_spark.index.maintenance import heal_interrupted_migration
-
     heal_interrupted_migration(spark, cat)
     stats = cat.corpus_stats(spark)
     n_docs_frozen, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 1.0)

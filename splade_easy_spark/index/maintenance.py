@@ -269,7 +269,9 @@ def _pack_layout(cat: IndexCatalog) -> tuple[dict, str]:
     )
 
 
-def _journal_maintenance(man, op: str, tables: list[str]) -> int:
+def _journal_maintenance(
+    man, op: str, tables: list[str], extra: dict | None = None
+) -> int:
     """Durable journal entry that a maintenance op is about to swap the
     named tables' dirs in.  A crash AFTER a swap lands but BEFORE
     ``record_stage`` re-records lineage leaves the manifest's per-file
@@ -282,8 +284,9 @@ def _journal_maintenance(man, op: str, tables: list[str]) -> int:
     lineage (``record_stage``) or the owning op withdraws its entry after
     skipping every swap — so a different op completing cannot launder a
     crashed op's stale tables (round-5 review finding).  Returns the
-    entry seq (the owner's withdrawal handle)."""
-    return man.journal_maintenance(op, tables)
+    entry seq (the owner's withdrawal handle).  ``extra`` (dict) rides the
+    entry for parameters a crash-heal must reproduce exactly."""
+    return man.journal_maintenance(op, tables, extra)
 
 
 def heal_interrupted_migration(spark: SparkSession, cat: IndexCatalog) -> bool:
@@ -310,13 +313,21 @@ def heal_interrupted_migration(spark: SparkSession, cat: IndexCatalog) -> bool:
         return False  # empty/unreadable dir: nothing to protect yet
     if physical == flag:
         return False
-    witness = any(
-        e.get("op") == "migrate_postings"
-        for e in man.pending_maintenance_entries()
+    witness = next(
+        (
+            e
+            for e in man.pending_maintenance_entries()
+            if e.get("op") == "migrate_postings"
+        ),
+        None,
     )
-    if physical and not flag and witness:
+    if physical and not flag and witness is not None:
         lay["postings_term_ids"] = True
-        lay["term_id_seed"] = int(cat.config.term_id_seed)
+        # the seed the crashed migrate actually packed with rides its
+        # journal entry — the healer's own config may use a different one
+        # (a fallback to the healer's seed covers only pre-seed-journal
+        # entries, written when configs could not diverge mid-migrate)
+        lay["term_id_seed"] = int(witness.get("seed", cat.config.term_id_seed))
         lay["pack_cosine"] = bool(
             lay.get("pack_cosine", cat.config.pack_cosine)
         ) and ("norm" in cat.read(spark, "doc_terms").columns)
@@ -652,7 +663,12 @@ def migrate_postings(
     ).sortWithinPartitions("term_id", "block_id")
     packed.write.partitionBy("seg").parquet(cat.table_dir("postings") + "__rewrite")
 
-    _journal_maintenance(man, "migrate_postings", ["term_stats", "postings"])
+    # the seed rides the journal entry: a crash-heal by a writer running a
+    # DIFFERENT config must flip the layout to the seed these files were
+    # actually packed with, not its own
+    _journal_maintenance(
+        man, "migrate_postings", ["term_stats", "postings"], {"seed": seed}
+    )
     for t in ["term_stats", "postings"]:
         _swap_in(cat, t)
     lay["postings_term_ids"] = True

@@ -137,18 +137,28 @@ class Manifest:
             return []
         return [pend] if isinstance(pend, dict) else list(pend)
 
-    def journal_maintenance(self, op: str, tables: list[str]) -> int:
+    def journal_maintenance(
+        self, op: str, tables: list[str], extra: dict | None = None
+    ) -> int:
         """Append a journal entry declaring which tables' lineage the op's
         imminent dir swaps will invalidate.  Entries are per-op (a second
         op crashing cannot be healed by a first op's commit): each lives
         until every one of its tables has fresh post-swap lineage recorded
         (``record_stage``), or until its owner withdraws it
-        (``clear_maintenance`` — no swaps happened).  Returns the entry's
-        seq (the owner's handle)."""
+        (``clear_maintenance`` — no swaps happened).  ``extra`` carries
+        op parameters a crash-heal must reproduce exactly (e.g. the
+        term_id seed a migrate packed with — the healer's own config may
+        differ).  Returns the entry's seq (the owner's handle)."""
         entries = self.pending_maintenance_entries()
         seq = self.next_seq()
         entries.append(
-            {"op": op, "tables": sorted(tables), "at": time.time(), "seq": seq}
+            {
+                "op": op,
+                "tables": sorted(tables),
+                "at": time.time(),
+                "seq": seq,
+                **(extra or {}),
+            }
         )
         self.data["pending_maintenance"] = entries
         self.save()

@@ -93,6 +93,11 @@ def temperature_mix(
     Rates are rounded to the gate's 1e-6 grain *before* the compare so an
     oracle restating the same arithmetic (e.g. DuckDB ``pow``) cannot
     diverge on a final-ulp difference.
+
+    A NULL stratum is a stratum: ``groupBy`` counts it and the rate join
+    is null-safe, so NULL-source rows get their own temperature rate
+    instead of silently vanishing through an inner join (while still
+    deflating ``k`` for everyone else).
     """
     counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
     k = counts.agg(
@@ -115,10 +120,14 @@ def temperature_mix(
         )
     )
     bucket = F.pmod(hash_fn(F.col(id_col).cast("string"), seed), F.lit(_M))
+    rates = rates.withColumnRenamed(strata_col, "_strata")
     return (
-        df.join(F.broadcast(rates), strata_col)
+        df.join(
+            F.broadcast(rates),
+            F.col(strata_col).eqNullSafe(F.col("_strata")),
+        )
         .where(bucket < F.col("_thr"))
-        .drop("_thr")
+        .drop("_strata", "_thr")
     )
 
 
@@ -150,6 +159,11 @@ def source_cap(
     a survivor-count check raises loudly in the astronomically unlikely
     shortfall (Chernoff bound at overshoot=4) instead of silently
     under-selecting — re-run with a larger ``overshoot``.
+
+    A NULL stratum is a stratum (scraped-web metadata routinely has
+    missing sources): every join here is null-safe, so NULL-source rows
+    are capped like any other group rather than dropped or tripping the
+    exactness check.
     """
     bucket = F.pmod(hash_fn(F.col(id_col).cast("string"), seed), F.lit(_M))
     counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
@@ -161,17 +175,31 @@ def source_cap(
         ).alias("_gate"),
         F.col("_n"),
     )
-    surv = df.withColumn("_h", bucket).join(F.broadcast(thr), strata_col).where(
-        F.col("_h") < F.col("_gate")
+    # null-safe joins throughout: a NULL stratum is a stratum (groupBy
+    # counts it, the window partitions it) — an inner equi-join would
+    # silently drop its rows and then trip the exactness check
+    thr = thr.withColumnRenamed(strata_col, "_strata")
+    surv = (
+        df.withColumn("_h", bucket)
+        .join(
+            F.broadcast(thr), F.col(strata_col).eqNullSafe(F.col("_strata"))
+        )
+        .where(F.col("_h") < F.col("_gate"))
+        .drop("_strata")
     )
     # loud exactness check: every stratum must keep >= min(cap, n_s)
     # survivors for the prefix argument to hold (driver-sized agg).  LEFT
     # join from the counts frame — a stratum whose survivors are EMPTY
     # must still be caught, and it has no survivor group to count.
+    surv_counts = (
+        surv.groupBy(strata_col)
+        .agg(F.count("*").alias("_s"))
+        .withColumnRenamed(strata_col, "_strata")
+    )
     short = (
         counts.join(
-            surv.groupBy(strata_col).agg(F.count("*").alias("_s")),
-            strata_col,
+            surv_counts,
+            F.col(strata_col).eqNullSafe(F.col("_strata")),
             "left",
         )
         .where(F.coalesce("_s", F.lit(0)) < F.least(F.lit(cap), F.col("_n")))

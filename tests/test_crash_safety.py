@@ -669,21 +669,11 @@ def test_seq_orders_equal_timestamp_events(spark, tmp_path):
     assert _fresh_lineage(cat2, "postings") is None
 
 
-def test_migrate_crash_between_swap_and_commit_heals(spark, tmp_path, monkeypatch):
-    """Round-5 review HIGH: a migrate_postings whose dir swaps land but
-    whose stage commit doesn't leaves postings physically term_id-keyed
-    while the recorded layout still says string keys.  The next append
-    must NOT trust the stale flag (string-keyed blocks in a term_id table
-    would be silently unsearchable under the term_id-filtered scan): the
-    pending migrate journal entry is the witness, and every writer-side
-    entry point finishes the flag flip + stage commit before packing."""
+def _legacyize(spark, tmp_path, idx):
+    """Rewrite a freshly built index to the pre-term_id (string-keyed)
+    layout — the same recipe as test_term_ids."""
     from splade_easy_spark.index.builder import pack_doc_terms
-    from splade_easy_spark.index.maintenance import migrate_postings
-    from splade_easy_spark.index.manifest import Manifest
 
-    idx = str(tmp_path / "legacy")
-    build_index(spark, generate_transcripts(spark, num_convs=6, seed=91), idx, CFG)
-    # rewrite to the pre-term_id layout (same recipe as test_term_ids)
     dt = spark.read.parquet(f"{idx}/doc_terms")
     legacy = pack_doc_terms(
         dt.select("term", "doc_int", "weight", "norm"),
@@ -702,6 +692,13 @@ def test_migrate_crash_between_swap_and_commit_heals(spark, tmp_path, monkeypatc
     man0.data["layout"].pop("term_id_seed", None)
     man0.save()
 
+
+def _crash_migrate(spark, idx, cfg, monkeypatch):
+    """Run migrate_postings with an injected crash between its dir swaps
+    and its stage commit."""
+    from splade_easy_spark.index.maintenance import migrate_postings
+    from splade_easy_spark.index.manifest import Manifest
+
     real = Manifest.record_stage
 
     def boom(self, stage, *a, **k):
@@ -711,8 +708,22 @@ def test_migrate_crash_between_swap_and_commit_heals(spark, tmp_path, monkeypatc
 
     monkeypatch.setattr(Manifest, "record_stage", boom)
     with pytest.raises(RuntimeError, match="after migrate swaps"):
-        migrate_postings(spark, idx, CFG)
+        migrate_postings(spark, idx, cfg)
     monkeypatch.undo()
+
+
+def test_migrate_crash_between_swap_and_commit_heals(spark, tmp_path, monkeypatch):
+    """Round-5 review HIGH: a migrate_postings whose dir swaps land but
+    whose stage commit doesn't leaves postings physically term_id-keyed
+    while the recorded layout still says string keys.  The next append
+    must NOT trust the stale flag (string-keyed blocks in a term_id table
+    would be silently unsearchable under the term_id-filtered scan): the
+    pending migrate journal entry is the witness, and every writer-side
+    entry point finishes the flag flip + stage commit before packing."""
+    idx = str(tmp_path / "legacy")
+    build_index(spark, generate_transcripts(spark, num_convs=6, seed=91), idx, CFG)
+    _legacyize(spark, tmp_path, idx)
+    _crash_migrate(spark, idx, CFG, monkeypatch)
 
     # the dangerous state: physical term_id, recorded flag false, witness entry
     cat = IndexCatalog(idx, CFG)
@@ -755,3 +766,60 @@ def test_layout_mismatch_without_witness_raises(spark, tmp_path):
     cat2 = IndexCatalog(idx, CFG)
     with pytest.raises(RuntimeError, match="refusing to write mixed-schema"):
         heal_interrupted_migration(spark, cat2)
+
+
+def test_migrate_crash_heal_uses_journaled_seed(spark, tmp_path, monkeypatch):
+    """Round-5 review: the crashed migrate packed term_ids with ITS config's
+    seed; a healer running a different config must flip the layout to the
+    journaled seed, not its own — otherwise every query/append recomputes
+    ids in the wrong hash space and silently misses all pre-crash postings."""
+    import dataclasses
+
+    idx = str(tmp_path / "legacy")
+    build_index(spark, generate_transcripts(spark, num_convs=5, seed=97), idx, CFG)
+    _legacyize(spark, tmp_path, idx)
+    cfg_seeded = dataclasses.replace(CFG, term_id_seed=7)
+    _crash_migrate(spark, idx, cfg_seeded, monkeypatch)
+
+    # heal with the DEFAULT-config writer (seed 0): the journal entry's
+    # seed=7 must win
+    append_documents(
+        spark, idx, generate_transcripts(spark, num_convs=2, seed=98), CFG
+    )
+    cat = IndexCatalog(idx, CFG)
+    assert cat.manifest.data["layout"]["postings_term_ids"] is True
+    assert cat.manifest.data["layout"]["term_id_seed"] == 7
+    # and the index searches exactly under the healed layout (Searcher
+    # resolves the seed from the layout, not its config)
+    s = Searcher(spark, idx, CFG)
+    w = [(r["doc_id"], round(r["score"], 5)) for r in s.search(QUERIES[0], 10, method="wand").collect()]
+    q = [(r["doc_id"], round(r["score"], 5)) for r in s.search(QUERIES[0], 10, method="sql").collect()]
+    assert w == q and len(w) > 0
+
+
+def test_append_heals_interrupted_table_swap(spark, tmp_path):
+    """Round-5 review HIGH: an append arriving after a maintenance op
+    crashed between live.rename(__old) and staged.rename(live) must
+    restore the table dir BEFORE doing anything else — without the heal,
+    the migration check sees "no postings dir" and the append's write
+    recreates the table holding only the new batch's blocks (the sole
+    copy of the corpus sits in postings__old until a GC deletes it)."""
+    idx = str(tmp_path / "idx")
+    build_index(spark, generate_transcripts(spark, num_convs=4, seed=95), idx, CFG)
+    n0 = stats(spark, idx)["num_docs"]
+    # simulate the crash window: live dir renamed away, staged gone
+    shutil.move(str(Path(idx) / "postings"), str(Path(idx) / "postings__old"))
+
+    out = append_documents(
+        spark, idx, generate_transcripts(spark, num_convs=2, seed=96), CFG
+    )
+    assert out["appended_docs"] > 0
+    assert (Path(idx) / "postings").exists()
+    assert not (Path(idx) / "postings__old").exists()
+    st = stats(spark, idx)
+    assert st["num_docs"] == n0 + out["appended_docs"]
+    # the ORIGINAL corpus is still searchable (not just the appended batch)
+    s = Searcher(spark, idx, CFG)
+    w = [(r["doc_id"], round(r["score"], 5)) for r in s.search(QUERIES[0], 10, method="wand").collect()]
+    q = [(r["doc_id"], round(r["score"], 5)) for r in s.search(QUERIES[0], 10, method="sql").collect()]
+    assert w == q and len(w) > 0

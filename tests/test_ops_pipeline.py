@@ -281,3 +281,27 @@ def test_source_cap_undershoot_raises(spark, mix_df):
     with pytest.raises(RuntimeError, match="pre-gate undershot"):
         # overshoot so small the gate keeps ~0.4 rows << cap
         sample.source_cap(df, "source", cap=100, overshoot=0.001)
+
+
+def test_temperature_mix_null_stratum(spark):
+    # NULL lang rows form their own stratum: they participate in k AND get
+    # a rate, instead of vanishing through an inner join (round-5 review)
+    rows = [(i, "en" if i < 100 else None, "txt") for i in range(104)]
+    df = spark.createDataFrame(rows, "doc_id INT, lang STRING, text STRING")
+    out = sample.temperature_mix(df, "lang", alpha=0.5)
+    by = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by.get(None, 0) == 4  # smallest stratum: rate 1.0, kept whole
+    # en gated at k*n^-0.5 = 2/10 = 0.2
+    kept_en = sum(
+        1 for i in range(100)
+        if int(hashlib.md5(f"sample:{i}".encode()).hexdigest()[:8], 16) % _M < 200000
+    )
+    assert by["en"] == kept_en
+
+
+def test_source_cap_null_stratum(spark):
+    rows = [(i, "web" if i % 3 else None, "txt") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id INT, source STRING, text STRING")
+    out = sample.source_cap(df, "source", cap=5)
+    by = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by == {"web": 5, None: 5}  # NULL capped like any other group

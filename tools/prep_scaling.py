@@ -68,16 +68,11 @@ def prepare() -> None:
         )
     )
     docs.repartition(64).write.mode("overwrite").parquet(DOCS)
-    emb = spark.range(n_emb).select(
-        F.col("id").alias("vec_id"),
-        F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda i: (
-                (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001)) - 1000) / 1000.0
-            ).cast("float"),
-        ).alias("embedding"),
-    )
-    emb.repartition(32).write.mode("overwrite").parquet(EMB)
+    from splade_easy_spark.data import synthetic_embeddings
+
+    synthetic_embeddings(spark, n_emb).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(EMB)
     n = spark.read.parquet(DOCS).count()
     print(f"staged {n} docs, {n_emb} embeddings at {STAGE}", file=sys.stderr)
     spark.stop()
@@ -86,7 +81,7 @@ def prepare() -> None:
 def worker(cores: int) -> None:
     from pyspark.sql import functions as F
 
-    from splade_easy_spark.ops import chunk, lm, pack, pii, quant, sample, vocab
+    from tools.prep_common import prep_bench_ops
 
     spark = _spark(cores)
     docs = spark.read.parquet(DOCS)
@@ -94,48 +89,11 @@ def worker(cores: int) -> None:
     # warm the session (JVM/codegen/Arrow init out of the timings)
     docs.limit(1000).agg(F.count("*")).collect()
 
-    def timed(fn):
+    times = {}
+    for name, thunk in prep_bench_ops(docs, emb):
         t0 = time.time()
-        fn()
-        return round(time.time() - t0, 3)
-
-    times = {
-        "chunk": timed(
-            lambda: chunk.chunk_documents(docs, size=64, overlap=8)
-            .agg(F.count("*"), F.sum("n_tokens"))
-            .collect()
-        ),
-        "pack": timed(
-            lambda: pack.pack_sequences(docs, budget=512, n_buckets=64)
-            .agg(F.count("*"), F.max("seq_id"))
-            .collect()
-        ),
-        "pii": timed(
-            lambda: pii.pii_scan(docs).agg(F.sum("n_pii"), F.count("*")).collect()
-        ),
-        "sample": timed(
-            lambda: sample.stratified_sample(
-                docs, "lang", {"en": 0.8, "de": 0.5, "fr": 0.25}, default_rate=0.1
-            )
-            .agg(F.count("*"))
-            .collect()
-        ),
-        "vocab": timed(
-            lambda: vocab.build_vocab(docs, min_df=2, max_df_frac=0.5)
-            .agg(F.count("*"))
-            .collect()
-        ),
-        "lm": timed(
-            lambda: lm.unigram_logprob(docs)
-            .agg(F.avg("avg_logprob"), F.count("*"))
-            .collect()
-        ),
-        "quant": timed(
-            lambda: quant.quantize_embeddings(emb)
-            .agg(F.sum("mse"), F.count("*"))
-            .collect()
-        ),
-    }
+        thunk()
+        times[name] = round(time.time() - t0, 3)
     print(json.dumps({"cores": cores, "times": times}))
     spark.stop()
 
@@ -169,8 +127,10 @@ def main() -> None:
     rows = []
     for op in a["times"]:
         t_lo, t_hi = a["times"][op], b["times"][op]
+        # t_hi can round to 0.0 on a sub-ms op — guard BOTH divisions
+        sp = round(t_lo / t_hi, 2) if t_hi else None
         eff = round(t_lo / t_hi / factor, 3) if t_hi else None
-        rows.append((op, t_lo, t_hi, round(t_lo / t_hi, 2), eff))
+        rows.append((op, t_lo, t_hi, sp, eff))
     print(json.dumps({"cores": [lo, hi], "legs": [a, b], "table": rows}))
     print(f"\n| op | local[{lo}] s | local[{hi}] s | speedup | efficiency |", file=sys.stderr)
     print("|---|---|---|---|---|", file=sys.stderr)
