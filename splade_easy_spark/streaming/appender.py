@@ -41,6 +41,7 @@ def make_epoch_sink(
     checkpoint_dir: str,
     config: IndexConfig | None = None,
     optimize_every: int | None = None,
+    transform=None,
 ):
     """foreachBatch sink with the committed-epoch transaction log (module
     docstring layer 1); factored out so tests can drive re-delivery
@@ -57,7 +58,16 @@ def make_epoch_sink(
     live partitions are untouched, and a crash INSIDE the window (between
     the two renames) is healed — rename-only, restoring the pre-optimize
     partition — by ``heal_interrupted_swaps``, which runs at the next
-    maintenance call and at every ``Searcher`` open."""
+    maintenance call and at every ``Searcher`` open.
+
+    ``transform`` (DataFrame → DataFrame, optional) is a per-micro-batch
+    prep stage run BEFORE indexing — the streaming analog of the batch
+    curation pipeline: redact PII, drop low-quality turns, gate a sample
+    (the ``ops`` filters/projections compose here unchanged, since a
+    micro-batch is a plain DataFrame).  It must be deterministic in the
+    row (pure column expressions — every ``ops`` gate qualifies): a
+    re-delivered epoch re-runs it, and the idempotent-repair anti-join
+    heals on the TRANSFORMED rows' ids."""
     from splade_easy_spark.index.catalog import IndexCatalog
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -72,7 +82,14 @@ def make_epoch_sink(
         )
         if int(epoch_id) <= int(committed):
             return  # re-delivered, fully-committed epoch: nothing to do
-        append_documents(batch_df.sparkSession, index_dir, batch_df, config)
+        if transform is not None:
+            batch_df = transform(batch_df)
+            if batch_df.isEmpty():
+                # the prep stage gated the whole batch: still commit the
+                # epoch below so a restart doesn't re-run it
+                batch_df = None
+        if batch_df is not None:
+            append_documents(batch_df.sparkSession, index_dir, batch_df, config)
         # record the commit LAST (append_documents saved its own manifest
         # state — reload so next_doc_int/appends are not clobbered); a
         # crash before this line re-runs the epoch through the repair path
@@ -100,14 +117,17 @@ def stream_append(
     config: IndexConfig | None = None,
     trigger_seconds: int | None = None,
     optimize_every: int | None = None,
+    transform=None,
 ):
     """Attach a streaming DataFrame of transcript turns as an index
     appender.  Returns the StreamingQuery (caller stops it).
     ``optimize_every=K`` folds periodic partition-scoped maintenance into
-    the sink (see ``make_epoch_sink``)."""
+    the sink; ``transform`` runs a deterministic prep stage (redact /
+    quality-gate / sample) on every micro-batch before indexing (see
+    ``make_epoch_sink``)."""
 
     writer = stream.writeStream.foreachBatch(
-        make_epoch_sink(index_dir, checkpoint_dir, config, optimize_every)
+        make_epoch_sink(index_dir, checkpoint_dir, config, optimize_every, transform)
     ).option("checkpointLocation", checkpoint_dir)
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")

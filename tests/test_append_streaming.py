@@ -289,3 +289,55 @@ def test_streaming_auto_optimize(spark, tmp_path):
     s2 = Searcher(spark, idx, CFG)
     after_ids = {r["doc_id"] for r in s2.search("baba0 ceba1", 100, method="wand").collect()}
     assert {d for d, _ in before} <= after_ids
+
+
+def test_streaming_prep_transform(spark, tmp_path):
+    """The sink's ``transform`` hook runs a deterministic prep stage on
+    every micro-batch before indexing — here PII redaction + a length
+    quality gate, i.e. the batch curation ops composed into streaming.
+    Redacted text must land in the index, gated rows must not, and a
+    fully-gated epoch must still commit (a restart must not re-run it)."""
+    from splade_easy_spark.index.catalog import IndexCatalog
+    from splade_easy_spark.ops import pii
+    from splade_easy_spark.streaming.appender import make_epoch_sink
+
+    idx = str(tmp_path / "idx")
+    all_tx = generate_transcripts(spark, num_convs=6, seed=51)
+    build_index(spark, all_tx.where(F.col("conv_id") < "conv_00000004"), idx, CFG)
+
+    def prep(df):
+        # redact emails, drop very short turns — pure column expressions
+        red = df.withColumn("text", pii.redact(F.col("text")))
+        return red.where(F.length("text") >= 40)
+
+    sink = make_epoch_sink(idx, str(tmp_path / "ckpt"), CFG, transform=prep)
+
+    # a batch with one synthetic email and one too-short turn
+    batch = all_tx.where(F.col("conv_id") == "conv_00000004").withColumn(
+        "text",
+        F.when(F.col("turn_idx") == 0, F.concat(F.col("text"), F.lit(" mail me at a@b.co")))
+        .when(F.col("turn_idx") == 1, F.lit("tiny"))
+        .otherwise(F.col("text")),
+    )
+    sink(batch, 0)
+    docs = spark.read.parquet(f"{idx}/docs")
+    row0 = docs.where(F.col("doc_id") == "conv_00000004#0").collect()[0]
+    assert "<EMAIL>" in row0["text"] and "a@b.co" not in row0["text"]
+    assert docs.where(F.col("doc_id") == "conv_00000004#1").count() == 0  # gated
+
+    # an epoch the prep gates ENTIRELY still commits (no re-run on restart)
+    tiny = all_tx.where(F.col("conv_id") == "conv_00000005").withColumn(
+        "text", F.lit("x")
+    )
+    n_before = docs.count()
+    sink(tiny, 1)
+    assert spark.read.parquet(f"{idx}/docs").count() == n_before
+    man = IndexCatalog(idx, CFG).manifest
+    key = str(tmp_path / "ckpt")
+    assert man.data["streams"][key]["last_committed_epoch"] == 1
+
+    # and the index still searches exactly after the streamed prep
+    s = Searcher(spark, idx, CFG)
+    w = [(r["doc_id"], round(r["score"], 5)) for r in s.search("baba0 ceba1", 10, method="wand").collect()]
+    q = [(r["doc_id"], round(r["score"], 5)) for r in s.search("baba0 ceba1", 10, method="sql").collect()]
+    assert w == q and len(w) > 0
