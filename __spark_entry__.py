@@ -522,6 +522,18 @@ def q_source_cap(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_training_order(spark, sf_dir):
+    """Deterministic global training order (reproducible corpus shuffle):
+    ord = 0-based rank of (md5 hash, id) — computed as a distributed rank
+    (range partition + per-partition row_number + broadcast cumulative
+    offsets; ops.shuffle.training_order), never a single-partition
+    window.  The oracle IS the naive global window, proving the
+    distributed rank exact."""
+    from splade_easy_spark.ops import shuffle as ops_shuffle
+
+    return ops_shuffle.training_order(_docs(spark, sf_dir))
+
+
 def q_vocab_topn(spark, sf_dir):
     """Vocabulary build: df-thresholded (min_df=2, max_df_frac=0.78) top-200
     terms with dense deterministic ids (df desc, term asc) —
@@ -790,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "temperature_mix": q_temperature_mix,
         "source_cap": q_source_cap,
+        "training_order": q_training_order,
         "vocab_topn": q_vocab_topn,
         "pii_scan": q_pii_scan,
         "pack_sequences": q_pack_sequences,
@@ -1082,6 +1095,12 @@ WITH h AS (SELECT doc_id, source,
 rk AS (SELECT doc_id, source,
         row_number() OVER (PARTITION BY source ORDER BY _h, doc_id) AS rk FROM h)
 SELECT doc_id, source FROM rk WHERE rk <= {SOURCE_CAP}""",
+        "training_order": """
+SELECT doc_id,
+  (row_number() OVER (
+     ORDER BY ('0x' || substr(md5('shuffle:' || doc_id::VARCHAR), 1, 8))::BIGINT,
+              doc_id) - 1)::BIGINT AS ord
+FROM documents""",
         "vocab_topn": f"""
 WITH {_TOK_CTE},
 tt AS (SELECT doc_id, term, count(*)::INT AS tf

@@ -305,3 +305,31 @@ def test_source_cap_null_stratum(spark):
     out = sample.source_cap(df, "source", cap=5)
     by = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert by == {"web": 5, None: 5}  # NULL capped like any other group
+
+
+# ---------------------------------------------------------------------------
+# training_order
+
+
+def test_training_order_matches_python_and_is_dense(spark, mix_df):
+    from splade_easy_spark.ops import shuffle as ops_shuffle
+
+    got = {r["doc_id"]: r["ord"] for r in ops_shuffle.training_order(mix_df).collect()}
+    keys = sorted(
+        (int(hashlib.md5(f"shuffle:{r['doc_id']}".encode()).hexdigest()[:8], 16), r["doc_id"])
+        for r in mix_df.collect()
+    )
+    expect = {d: i for i, (_, d) in enumerate(keys)}
+    assert got == expect  # exact global rank, 0-based dense
+    assert sorted(got.values()) == list(range(len(got)))
+
+
+def test_training_order_partition_independent(spark, mix_df):
+    from splade_easy_spark.ops import shuffle as ops_shuffle
+
+    a = {r["doc_id"]: r["ord"] for r in ops_shuffle.training_order(mix_df).collect()}
+    b = {
+        r["doc_id"]: r["ord"]
+        for r in ops_shuffle.training_order(mix_df.repartition(13)).collect()
+    }
+    assert a == b

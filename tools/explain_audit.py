@@ -223,6 +223,17 @@ def main() -> None:
             formatted(entry.queries()["source_cap"](spark, sf_dir)),
         )
     )
+    sections.append(
+        (
+            "training_order — deterministic global shuffle rank",
+            "the distributed rank: ONE range Exchange on (hash, id) pinned "
+            "by a localCheckpoint (scan shows ExistingRDD), per-partition "
+            "row_number windows whose partitions are the bounded range "
+            "partitions, and the cumulative offsets broadcast back — no "
+            "single-partition sort of the corpus anywhere.",
+            formatted(entry.queries()["training_order"](spark, sf_dir)),
+        )
+    )
     out = ["# EXPLAIN — headline physical plans", ""]
     out.append(
         "Generated by `python tools/explain_audit.py`; plans from the live "
