@@ -53,6 +53,8 @@ SHINGLE_K = 3
 NUM_HASHES, BANDS, ROWS_PER_BAND = 16, 4, 4
 JACCARD_THRESHOLD = 0.2
 NEAR_DUP_COS = 0.30
+SEMDEDUP_COS = 0.35
+DUP_NGRAM_N, DUP_NGRAM_MIN = 5, 2
 ANN_PROBES = [0, 1, 2]
 ANN_K = 10
 EMB_DIM, LSH_PLANES = 64, 8
@@ -216,6 +218,40 @@ def _sql_dedup_clusters() -> str:
     return f"""WITH RECURSIVE {_sql_lsh_ctes()},
 {_CC_CTES}
 SELECT node AS doc_id, comp AS cluster_id FROM clusters"""
+
+
+def _sql_dup_ngram_spans() -> str:
+    """Corpus-level duplicated n-gram spans: same tokenizer regex, same
+    60-bit md5 gram hash ("ng:" seed prefix), occurrence counting and
+    exact token-interval coverage restated relationally."""
+    n, mc = DUP_NGRAM_N, DUP_NGRAM_MIN
+    h = f"('0x' || substr(md5('ng:' || array_to_string(list_slice(toks, i, i + {n - 1}), ' ')), 1, 15))::BIGINT"
+    return f"""WITH {_TOK_CTE},
+base AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens FROM tok),
+gi AS (
+  SELECT doc_id, toks, unnest(range(1, n_tokens - {n} + 2)) AS i
+  FROM base WHERE n_tokens >= {n}
+),
+grams AS (SELECT doc_id, i - 1 AS pos, {h} AS gh FROM gi),
+hot AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= {mc}),
+dup AS (SELECT g.doc_id, g.pos FROM grams g JOIN hot USING (gh)),
+dg AS (SELECT doc_id, count(*)::BIGINT AS n_dup_grams FROM dup GROUP BY doc_id),
+cov AS (
+  SELECT doc_id, count(DISTINCT ti)::BIGINT AS dup_tokens
+  FROM (SELECT doc_id, pos + unnest(range(0, {n})) AS ti FROM dup)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       greatest(b.n_tokens - {n - 1}, 0)::BIGINT AS n_grams,
+       coalesce(dg.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       coalesce(cov.dup_tokens, 0)::BIGINT AS dup_tokens,
+       round(CASE WHEN b.n_tokens - {n - 1} > 0
+             THEN coalesce(dg.n_dup_grams, 0)::DOUBLE / (b.n_tokens - {n - 1})
+             ELSE 0.0 END, 6) AS dup_gram_frac,
+       round(CASE WHEN b.n_tokens > 0
+             THEN coalesce(cov.dup_tokens, 0)::DOUBLE / b.n_tokens
+             ELSE 0.0 END, 6) AS dup_token_frac
+FROM base b LEFT JOIN dg USING (doc_id) LEFT JOIN cov USING (doc_id)"""
 
 
 def _sql_simhash(bits: int = 32) -> str:
@@ -701,6 +737,29 @@ def q_embedding_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (ops.semdedup, Abbas et al. 2023) gated at its exactness
+    knob: n_clusters=1 disables the cluster-blocking approximation, so the
+    output equals brute-force all-pairs semantic dedup — pairs >= cos 0.35
+    -> connected components -> keep the min id per component.  The DuckDB
+    oracle restates exactly that (all-pairs cosine + recursive-CTE CC)."""
+    from splade_easy_spark.ops.semdedup import semdedup
+
+    return semdedup(_emb(spark, sf_dir), threshold=SEMDEDUP_COS, n_clusters=1)
+
+
+def q_dup_ngram_spans(spark, sf_dir):
+    """Corpus-level duplicated n-gram spans (ops.dedup.dup_ngram_spans,
+    Lee et al. 2021 substring-grain dedup), pinned to the 60-bit
+    oracle-reproducible md5 gram hash."""
+    return dedup.dup_ngram_spans(
+        _docs(spark, sf_dir),
+        n=DUP_NGRAM_N,
+        min_count=DUP_NGRAM_MIN,
+        hash_fn=dedup.md5_hash60,
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _events(spark, sf_dir)
     epoch = F.unix_timestamp("ts")
@@ -815,6 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "semdedup": q_semdedup,
+        "dup_ngram_spans": q_dup_ngram_spans,
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
         "pricing_summary": q_pricing_summary,
@@ -1183,6 +1244,18 @@ WITH e AS (SELECT vec_id, label, {_SQL_EMB_D} AS emb FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_SQL_COS}, 5) AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_SQL_COS} >= {NEAR_DUP_COS}""",
+        "semdedup": f"""
+WITH RECURSIVE e AS (SELECT vec_id, {_SQL_EMB_D} AS emb FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_SQL_COS} >= {SEMDEDUP_COS}
+),
+{_CC_CTES}
+SELECT v.vec_id, coalesce(c.comp, v.vec_id) AS rep_id,
+       (coalesce(c.comp, v.vec_id) = v.vec_id) AS keep
+FROM embeddings v LEFT JOIN clusters c ON v.vec_id = c.node""",
+        "dup_ngram_spans": _sql_dup_ngram_spans(),
         "events_hourly": """
 WITH base AS (
   SELECT *, floor((floor(epoch(ts)) - min(floor(epoch(ts))) OVER ()) / 3600)::BIGINT AS hour_no FROM events

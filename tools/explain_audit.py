@@ -234,6 +234,34 @@ def main() -> None:
             formatted(entry.queries()["training_order"](spark, sf_dir)),
         )
     )
+    sections.append(
+        (
+            "semdedup — embedding-cluster semantic dedup (exactness knob)",
+            "the within-cell pair join (at the gate's n_clusters=1 knob a "
+            "constant-key self-join; at n_clusters>1 a bounded per-cell "
+            "block join) feeds connected components whose converged labels "
+            "arrive as a checkpointed Scan ExistingRDD (lineage truncated "
+            "per CC round); the final labeling is a BroadcastHashJoin back "
+            "onto the corpus id column — one row per input vector, no "
+            "corpus-grain Exchange after the pair stage.",
+            formatted(entry.queries()["semdedup"](spark, sf_dir)),
+        )
+    )
+    sections.append(
+        (
+            "dup_ngram_spans — corpus-level duplicated n-gram spans",
+            "the gram stream is ONE Generate (posexplode) over a Project "
+            "that tokenizes, slices and hashes map-side — (id, pos, int64) "
+            "only, the gram STRINGS never leave the scan (no string column "
+            "below the Exchange); corpus occurrence counts via a Window "
+            "over ONE hash Exchange of that stream (no self-join, no "
+            "second gram subtree); then a single doc-grain "
+            "ObjectHashAggregate computing both the dup-gram count and "
+            "the interval-union coverage fold; a left join restores "
+            "zero-rows.",
+            formatted(entry.queries()["dup_ngram_spans"](spark, sf_dir)),
+        )
+    )
     out = ["# EXPLAIN — headline physical plans", ""]
     out.append(
         "Generated by `python tools/explain_audit.py`; plans from the live "
