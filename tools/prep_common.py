@@ -14,7 +14,8 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from splade_easy_spark.ops import chunk, lm, pack, pii, quant, sample, vocab
+from splade_easy_spark.ops import chunk, dedup, lm, pack, pii, quant, sample, vocab
+from splade_easy_spark.ops.semdedup import semdedup
 
 SAMPLE_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25}
 
@@ -66,6 +67,37 @@ def prep_bench_ops(
             "quantize",
             lambda: quant.quantize_embeddings(emb)
             .agg(F.sum("mse"), F.count("*"))
+            .collect(),
+        ),
+        (
+            "dup_ngrams",
+            # corpus-wide duplicated 5-gram spans: the gram stream (~one
+            # row per token) through one window exchange + one doc agg
+            lambda: dedup.dup_ngram_spans(docs, n=5, min_count=2)
+            .agg(F.sum("n_dup_grams"), F.sum("dup_tokens"), F.count("*"))
+            .collect(),
+        ),
+        (
+            "semdedup",
+            # the corpus-scaling part of SemDeDup — within-cell pair scan
+            # + connected components + the full-corpus label join — over a
+            # pushed-filter 50k slice with precomputed hash cells standing
+            # in for the cluster assignment.  The sample-fit KMeans is
+            # deliberately OUTSIDE the timing: it is a once-per-corpus
+            # O(sample) cost (measured separately: ~40 s at ANY toy slice
+            # size, dominated by driver iteration rounds, amortized to
+            # noise at real scale), while this row is the per-corpus-byte
+            # cost.  Uniform synthetic vectors have ~no dups at cos 0.9;
+            # the pair-scan work is τ-independent.  256 cells ≈ 195/cell
+            # ≈ 4.8M within-cell cosines.
+            lambda: semdedup(
+                emb.where(F.col("vec_id") < 50_000).withColumn(
+                    "cell", F.pmod(F.xxhash64("vec_id"), F.lit(256)).cast("int")
+                ),
+                threshold=0.9,
+                assign_col="cell",
+            )
+            .agg(F.sum(F.col("keep").cast("long")), F.count("*"))
             .collect(),
         ),
     ]
