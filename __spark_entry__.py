@@ -220,13 +220,15 @@ def _sql_dedup_clusters() -> str:
 SELECT node AS doc_id, comp AS cluster_id FROM clusters"""
 
 
-def _sql_dup_ngram_spans() -> str:
-    """Corpus-level duplicated n-gram spans: same tokenizer regex, same
-    60-bit md5 gram hash ("ng:" seed prefix), occurrence counting and
-    exact token-interval coverage restated relationally."""
+def _sql_dup_gram_ctes() -> str:
+    """Shared CTE chain ending in ``base`` (tokens) and ``dup`` (one row
+    per corpus-duplicated n-gram start) — same tokenizer regex, same
+    60-bit md5 gram hash ("ng:" seed prefix) as ops.dedup.  Consumed by
+    the dup_ngram_spans and remove_dup_spans oracles (one copy, no
+    drift)."""
     n, mc = DUP_NGRAM_N, DUP_NGRAM_MIN
     h = f"('0x' || substr(md5('ng:' || array_to_string(list_slice(toks, i, i + {n - 1}), ' ')), 1, 15))::BIGINT"
-    return f"""WITH {_TOK_CTE},
+    return f"""{_TOK_CTE},
 base AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens FROM tok),
 gi AS (
   SELECT doc_id, toks, unnest(range(1, n_tokens - {n} + 2)) AS i
@@ -234,7 +236,14 @@ gi AS (
 ),
 grams AS (SELECT doc_id, i - 1 AS pos, {h} AS gh FROM gi),
 hot AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= {mc}),
-dup AS (SELECT g.doc_id, g.pos FROM grams g JOIN hot USING (gh)),
+dup AS (SELECT g.doc_id, g.pos FROM grams g JOIN hot USING (gh))"""
+
+
+def _sql_dup_ngram_spans() -> str:
+    """Occurrence counting and exact token-interval coverage restated
+    relationally over the shared gram CTEs."""
+    n = DUP_NGRAM_N
+    return f"""WITH {_sql_dup_gram_ctes()},
 dg AS (SELECT doc_id, count(*)::BIGINT AS n_dup_grams FROM dup GROUP BY doc_id),
 cov AS (
   SELECT doc_id, count(DISTINCT ti)::BIGINT AS dup_tokens
@@ -252,6 +261,35 @@ SELECT b.doc_id, b.n_tokens,
              THEN coalesce(cov.dup_tokens, 0)::DOUBLE / b.n_tokens
              ELSE 0.0 END, 6) AS dup_token_frac
 FROM base b LEFT JOIN dg USING (doc_id) LEFT JOIN cov USING (doc_id)"""
+
+
+def _sql_remove_dup_spans() -> str:
+    """Token-stream rewrite oracle: drop covered token indices, re-join
+    survivors in position order (string_agg ORDER BY)."""
+    n = DUP_NGRAM_N
+    return f"""WITH {_sql_dup_gram_ctes()},
+cov AS (
+  SELECT DISTINCT doc_id, ti
+  FROM (SELECT doc_id, pos + unnest(range(0, {n})) AS ti FROM dup)
+),
+tk AS (
+  SELECT doc_id, i - 1 AS ti, toks[i] AS tok
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM base)
+),
+kept AS (
+  SELECT t.doc_id, t.ti, t.tok
+  FROM tk t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.ti = c.ti
+  WHERE c.ti IS NULL
+),
+cl AS (
+  SELECT doc_id, count(*)::BIGINT AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY ti) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(cl.kept_tokens, 0)::BIGINT AS kept_tokens,
+       coalesce(cl.clean_text, '') AS clean_text
+FROM base b LEFT JOIN cl USING (doc_id)"""
 
 
 def _sql_simhash(bits: int = 32) -> str:
@@ -748,6 +786,18 @@ def q_semdedup(spark, sf_dir):
     return semdedup(_emb(spark, sf_dir), threshold=SEMDEDUP_COS, n_clusters=1)
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """Substring-dedup rewrite (ops.dedup.remove_dup_spans): drop every
+    token covered by a corpus-duplicated n-gram, re-join survivors in
+    position order."""
+    return dedup.remove_dup_spans(
+        _docs(spark, sf_dir),
+        n=DUP_NGRAM_N,
+        min_count=DUP_NGRAM_MIN,
+        hash_fn=dedup.md5_hash60,
+    )
+
+
 def q_dup_ngram_spans(spark, sf_dir):
     """Corpus-level duplicated n-gram spans (ops.dedup.dup_ngram_spans,
     Lee et al. 2021 substring-grain dedup), pinned to the 60-bit
@@ -876,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "semdedup": q_semdedup,
         "dup_ngram_spans": q_dup_ngram_spans,
+        "remove_dup_spans": q_remove_dup_spans,
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
         "pricing_summary": q_pricing_summary,
@@ -1256,6 +1307,7 @@ SELECT v.vec_id, coalesce(c.comp, v.vec_id) AS rep_id,
        (coalesce(c.comp, v.vec_id) = v.vec_id) AS keep
 FROM embeddings v LEFT JOIN clusters c ON v.vec_id = c.node""",
         "dup_ngram_spans": _sql_dup_ngram_spans(),
+        "remove_dup_spans": _sql_remove_dup_spans(),
         "events_hourly": """
 WITH base AS (
   SELECT *, floor((floor(epoch(ts)) - min(floor(epoch(ts))) OVER ()) / 3600)::BIGINT AS hour_no FROM events

@@ -320,6 +320,44 @@ def md5_hash60(col: Column, seed: int | str = "") -> Column:
     return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
 
 
+def _dup_gram_positions(
+    df: DataFrame,
+    n: int,
+    min_count: int,
+    id_col: str,
+    text_col: str,
+    analyzer: AnalyzerConfig | None,
+    hash_fn,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the substring-grain dedup ops: ``(base, dup)`` where
+    ``base`` is ``(id, _t tokens, n_tokens)`` and ``dup`` is one row per
+    (doc, 0-based gram start) whose n-gram occurs ≥ ``min_count`` times
+    corpus-wide.  Plan shape documented in ``dup_ngram_spans``."""
+    from pyspark.sql.window import Window
+
+    toks = tokenize(F.col(text_col), analyzer)
+    base = df.select(F.col(id_col), toks.alias("_t")).select(
+        id_col,
+        "_t",
+        F.size("_t").cast("long").alias("n_tokens"),
+    )
+    grams = base.where(F.col("n_tokens") >= n).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), (F.col("n_tokens") - (n - 1)).cast("int")),
+                lambda i: hash_fn(F.concat_ws(" ", F.slice(F.col("_t"), i, n)), "ng"),
+            )
+        ).alias("pos", "gh"),
+    )
+    dup = (
+        grams.withColumn("_c", F.count("*").over(Window.partitionBy("gh")))
+        .where(F.col("_c") >= min_count)
+        .select(id_col, "pos")
+    )
+    return base, dup
+
+
 def dup_ngram_spans(
     df: DataFrame,
     n: int = 5,
@@ -376,27 +414,8 @@ def dup_ngram_spans(
     prefix ``md5_hash60`` is the oracle-reproducible alternative the
     driver gate pins; a production pass over 10^13 grams would widen to
     128 bits with a second hash column — same plan)."""
-    from pyspark.sql.window import Window
-
-    toks = tokenize(F.col(text_col), analyzer)
-    base = df.select(F.col(id_col), toks.alias("_t")).select(
-        id_col,
-        "_t",
-        F.size("_t").cast("long").alias("n_tokens"),
-    )
-    grams = base.where(F.col("n_tokens") >= n).select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), (F.col("n_tokens") - (n - 1)).cast("int")),
-                lambda i: hash_fn(F.concat_ws(" ", F.slice(F.col("_t"), i, n)), "ng"),
-            )
-        ).alias("pos", "gh"),
-    )
-    dup = (
-        grams.withColumn("_c", F.count("*").over(Window.partitionBy("gh")))
-        .where(F.col("_c") >= min_count)
-        .select(id_col, "pos")
+    base, dup = _dup_gram_positions(
+        df, n, min_count, id_col, text_col, analyzer, hash_fn
     )
     # one doc-grain aggregation for both stats; dup_tokens is the exact
     # union of the [pos, pos+n) intervals, folded over sorted positions
@@ -430,4 +449,66 @@ def dup_ngram_spans(
         F.round(
             F.when(F.col("n_tokens") > 0, dt / F.col("n_tokens")).otherwise(0.0), 6
         ).alias("dup_token_frac"),
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: AnalyzerConfig | None = None,
+    hash_fn=xxhash64_hash,
+) -> DataFrame:
+    """The REWRITE half of Lee et al. 2021 substring dedup: drop every
+    token covered by a corpus-duplicated n-gram and re-join the
+    survivors — ``(id, n_tokens, kept_tokens, clean_text)``, one row per
+    input doc (``clean_text = ''`` for a fully-duplicated doc).
+
+    The output is a rewrite of the ANALYZER TOKEN STREAM (lowercased,
+    punctuation-stripped — the stream LM pretraining tokenizes anyway),
+    which is how published substring-dedup pipelines operate; mapping
+    spans back to raw byte offsets is a presentation concern this engine
+    does not need.
+
+    Plan shape: the duplicated gram positions come from the shared
+    ``_dup_gram_positions`` core (see ``dup_ngram_spans`` — one gram
+    shuffle, window count).  Each duplicate start then expands to its n
+    covered token indices, distinct-ed doc-locally; surviving tokens are
+    selected by a left_anti join at (doc, token-index) grain and
+    re-assembled with an order-restoring sort inside the aggregation
+    (``collect_list(struct(ti, tok))`` + ``array_sort``).  Everything
+    shuffles on the doc id — the natural key, no skew beyond document
+    length."""
+    base, dup = _dup_gram_positions(
+        df, n, min_count, id_col, text_col, analyzer, hash_fn
+    )
+    covered = dup.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("ti"),
+    ).distinct()
+    tokens = base.select(
+        id_col, F.posexplode("_t").alias("ti", "tok")
+    )
+    kept = tokens.join(covered, [id_col, "ti"], "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.count("*").alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ti", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(clean, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
     )

@@ -443,3 +443,48 @@ def test_ngram_contamination_anti_join_cleans(spark, corpus_df):
     flagged = {r["doc_id"] for r in rep.where(F.col("contaminated")).collect()}
     assert kept.isdisjoint(flagged)
     assert kept | flagged == {r["doc_id"] for r in corpus_df.collect()}
+
+
+def test_multimodal_frame_sampling(spark):
+    media = multimodal.synthesize_media(spark, 90)
+    frames = multimodal.sample_frames(
+        media, every_ms=40, max_frames=8, extract_fn=multimodal.fake_extract_frame
+    ).collect()
+    vids = {
+        r["media_id"]: (r["payload"], r["meta"])
+        for r in media.collect()
+        if r["modality"] == "video" and r["payload"] is not None
+    }
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == set(vids)  # every non-null video sampled, nothing else
+    for mid, rows in by_id.items():
+        payload, meta = vids[mid]
+        n = max(1, min(8, int(meta["dur_ms"]) // 40 + 1))
+        assert sorted(r["frame_idx"] for r in rows) == list(range(n))
+        assert all(r["n_frames"] == n for r in rows)
+        want0 = multimodal.fake_extract_frame(bytes(payload), 0)
+        got0 = [bytes(r["frame"]) for r in rows if r["frame_idx"] == 0][0]
+        assert got0 == want0  # decode seam receives (payload, idx) faithfully
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|extract_fn"):
+        multimodal.sample_frames(media, extract_fn=None).collect()
+
+
+def test_multimodal_resize(spark):
+    media = multimodal.synthesize_media(spark, 60)
+    out = multimodal.resize_images(media, 32, 32, resize_fn=multimodal.fake_resize)
+    rows = {r["media_id"]: r for r in out.collect()}
+    orig = {r["media_id"]: r for r in media.collect()}
+    assert set(rows) == set(orig)  # schema-preserving, row-preserving
+    for mid, r in rows.items():
+        o = orig[mid]
+        if o["modality"] == "image" and o["payload"] is not None:
+            assert (r["meta"]["w"], r["meta"]["h"]) == ("32", "32")
+            assert bytes(r["payload"]) == multimodal.fake_resize(bytes(o["payload"]), 32, 32)
+        else:
+            assert (r["payload"] is None) == (o["payload"] is None)
+            if o["payload"] is not None:
+                assert bytes(r["payload"]) == bytes(o["payload"])  # passthrough

@@ -193,3 +193,42 @@ def test_dup_ngram_spans_default_hash_same_counts(spark):
     a = sorted(dup_ngram_spans(df, n=3).collect())
     b = sorted(dup_ngram_spans(df, n=3, hash_fn=md5_hash60).collect())
     assert a == b
+
+
+def test_remove_dup_spans_matches_python(spark):
+    from splade_easy_spark.ops.dedup import remove_dup_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (1, f"unique head words {shared} unique tail words"),
+        (2, f"{shared} totally different continuation here now"),
+        (3, "clean document with no shared passages anywhere inside"),
+        (4, "tiny"),
+    ]
+    n, mc = 4, 2
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["kept_tokens"], r["clean_text"])
+        for r in remove_dup_spans(df, n=n, min_count=mc, hash_fn=md5_hash60).collect()
+    }
+    toks = {d: TOK.findall(t.lower()) for d, t in docs}
+    from collections import Counter
+
+    cnt = Counter(
+        " ".join(ts[p : p + n])
+        for ts in toks.values()
+        for p in range(max(len(ts) - n + 1, 0))
+    )
+    for d, ts in toks.items():
+        covered = set()
+        for p in range(max(len(ts) - n + 1, 0)):
+            if cnt[" ".join(ts[p : p + n])] >= mc:
+                covered.update(range(p, p + n))
+        kept = [t for i, t in enumerate(ts) if i not in covered]
+        assert got[d] == (len(ts), len(kept), " ".join(kept)), d
+    # teeth: the shared passage is actually excised from both docs,
+    # doc 3 is untouched, short doc 4 passes through whole
+    assert "gamma" not in got[1][2] and "gamma" not in got[2][2]
+    assert got[1][2].startswith("unique head words")
+    assert got[3][2] == " ".join(toks[3])
+    assert got[4] == (1, 1, "tiny")

@@ -262,6 +262,19 @@ def main() -> None:
             formatted(entry.queries()["dup_ngram_spans"](spark, sf_dir)),
         )
     )
+    sections.append(
+        (
+            "remove_dup_spans — substring-dedup rewrite",
+            "the shared gram subtree (one Generate + one Window exchange, "
+            "as in dup_ngram_spans) feeds the covered-index expansion; "
+            "token selection is a left_anti join at (doc, index) grain and "
+            "the re-join is a single doc-grain ObjectHashAggregate whose "
+            "sort lives INSIDE the collected array (array_sort over "
+            "struct(ti, tok)) — no corpus-wide sort, shuffles keyed on the "
+            "doc id only.",
+            formatted(entry.queries()["remove_dup_spans"](spark, sf_dir)),
+        )
+    )
     out = ["# EXPLAIN — headline physical plans", ""]
     out.append(
         "Generated by `python tools/explain_audit.py`; plans from the live "
