@@ -775,6 +775,14 @@ def q_embedding_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
 
 
+def q_knn_graph(spark, sf_dir):
+    """Corpus-side kNN graph (ops.similarity.knn_graph): top-3 cosine
+    neighbors of EVERY vector within its label block — a blocked
+    self-join + per-src window, never a broadcast of the corpus."""
+    out = similarity.knn_graph(_emb(spark, sf_dir), k=3, block_col="label")
+    return out.select("src", "rank", "dst", F.round("cosine", 5).alias("cosine"))
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (ops.semdedup, Abbas et al. 2023) gated at its exactness
     knob: n_clusters=1 disables the cluster-blocking approximation, so the
@@ -925,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "semdedup": q_semdedup,
+        "knn_graph": q_knn_graph,
         "dup_ngram_spans": q_dup_ngram_spans,
         "remove_dup_spans": q_remove_dup_spans,
         "events_hourly": q_events_hourly,
@@ -1295,6 +1304,18 @@ WITH e AS (SELECT vec_id, label, {_SQL_EMB_D} AS emb FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_SQL_COS}, 5) AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_SQL_COS} >= {NEAR_DUP_COS}""",
+        "knn_graph": f"""
+WITH e AS (SELECT vec_id, label, {_SQL_EMB_D} AS emb FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {_SQL_COS} AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT src, dst, cosine,
+         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rank
+  FROM scored
+)
+SELECT src, rank, dst, round(cosine, 5) AS cosine FROM ranked WHERE rank <= 3""",
         "semdedup": f"""
 WITH RECURSIVE e AS (SELECT vec_id, {_SQL_EMB_D} AS emb FROM embeddings),
 pairs AS (

@@ -310,3 +310,66 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", cosine_expr(F.col("_va"), F.col("_vb")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def knn_graph(
+    vectors: DataFrame,
+    k: int = 5,
+    block_col: str | None = "label",
+    planes: int | None = None,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-side k-nearest-neighbor graph: ``(src, rank, dst, cosine)``,
+    the k highest-cosine neighbors of EVERY vector — the primitive under
+    kNN-graph clustering, graph-ANN index construction, and
+    diversity/coverage analysis.  Distinct from ``cosine_topk`` (which
+    broadcasts a tiny probe set against the corpus): here both sides ARE
+    the corpus, so the join must be blocked, never broadcast.
+
+    Blocking picks the candidate set (the standard scale trade: neighbors
+    outside a vector's block are not considered):
+
+    - ``block_col`` — any deterministic attribute/cell column already on
+      the frame (a KMeans cell from ``ops.semdedup.kmeans_assign``, a
+      shard key, a label) — the oracle-friendly mode;
+    - ``planes`` + ``dim`` — derive the block from the deterministic
+      random-hyperplane LSH bucket (``hyperplane_bits``), the
+      data-independent mode.
+
+    Plan: one self-join on the block key (Σ O(|block|²) candidate pairs,
+    AQE splits skewed blocks), cosine in Catalyst HOFs, window top-k per
+    ``src`` (rank ties broken by ascending ``dst``).  Rows with fewer
+    than k in-block neighbors return what exists — no padding."""
+    if planes is not None:
+        if dim is None:
+            raise ValueError("planes requires dim")
+        blocked = vectors.withColumn(
+            "_blk", hyperplane_bits(F.col(vec_col), dim, planes)
+        )
+    elif block_col is not None:
+        blocked = vectors.withColumn("_blk", F.col(block_col))
+    else:
+        raise ValueError("one of block_col or planes is required")
+    a = blocked.select(
+        "_blk", F.col(id_col).alias("src"), F.col(vec_col).alias("_va")
+    )
+    b = blocked.select(
+        "_blk", F.col(id_col).alias("dst"), F.col(vec_col).alias("_vb")
+    )
+    scored = (
+        a.join(b, "_blk")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            cosine_expr(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "rank", "dst", "cosine")
+    )

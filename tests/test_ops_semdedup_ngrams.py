@@ -232,3 +232,42 @@ def test_remove_dup_spans_matches_python(spark):
     assert got[1][2].startswith("unique head words")
     assert got[3][2] == " ".join(toks[3])
     assert got[4] == (1, 1, "tiny")
+
+
+# ---------------------------------------------------------------------------
+# knn_graph
+
+
+def test_knn_graph_matches_bruteforce(spark, emb_df):
+    from splade_easy_spark.ops.similarity import knn_graph
+
+    with_blk = emb_df.withColumn("blk", (F.col("vec_id") % 3).cast("int"))
+    got = {}
+    for r in knn_graph(with_blk, k=3, block_col="blk").collect():
+        got.setdefault(r["src"], []).append((r["rank"], r["dst"], round(r["cosine"], 9)))
+    rows = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in emb_df.collect()]
+    vecs = dict(rows)
+    for src in vecs:
+        cands = [
+            (-_cos(vecs[src], vecs[d]), d)
+            for d in vecs
+            if d != src and d % 3 == src % 3
+        ]
+        cands.sort()
+        want = [
+            (i + 1, d, round(-negc, 9)) for i, (negc, d) in enumerate(cands[:3])
+        ]
+        assert sorted(got.get(src, [])) == want, src
+
+
+def test_knn_graph_lsh_blocking_subset(spark, emb_df):
+    """LSH-bucket blocking returns each src's exact in-bucket top-k: every
+    edge it emits exists in the label-free brute-force candidate set with
+    the same cosine."""
+    from splade_easy_spark.ops.similarity import knn_graph
+
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb_df.collect()}
+    out = knn_graph(emb_df, k=2, block_col=None, planes=4, dim=8).collect()
+    assert len(out) > 0
+    for r in out:
+        assert abs(_cos(rows[r["src"]], rows[r["dst"]]) - r["cosine"]) < 1e-6
