@@ -119,6 +119,89 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_dedup_spans(args) -> int:
+    """Substring-grain dedup rewrite over any (id, text) parquet table
+    (ops.dedup.remove_dup_spans): drops every token covered by a
+    corpus-duplicated n-gram, writes (id, n_tokens, kept_tokens,
+    clean_text) and prints a JSON summary."""
+    from splade_easy_spark.ops.dedup import remove_dup_spans
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    t0 = time.time()
+    out = remove_dup_spans(
+        docs,
+        n=args.ngram,
+        min_count=args.min_count,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    from pyspark.sql import functions as F
+
+    agg = spark.read.parquet(args.output).agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("tokens_in"),
+        F.sum("kept_tokens").alias("tokens_kept"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "docs": agg["docs"],
+                "tokens_in": agg["tokens_in"],
+                "tokens_kept": agg["tokens_kept"],
+                "tokens_removed": agg["tokens_in"] - agg["tokens_kept"],
+                "ngram": args.ngram,
+                "min_count": args.min_count,
+                "output": args.output,
+                "elapsed_sec": round(time.time() - t0, 3),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_semdedup(args) -> int:
+    """Semantic dedup over an (id, embedding) parquet table
+    (ops.semdedup.semdedup): writes the (id, rep_id, keep) labeling and
+    prints a JSON summary.  --clusters 1 is exact all-pairs."""
+    from splade_easy_spark.ops.semdedup import semdedup
+
+    spark = _spark(args)
+    vecs = spark.read.parquet(args.input)
+    t0 = time.time()
+    out = semdedup(
+        vecs,
+        threshold=args.threshold,
+        n_clusters=args.clusters,
+        assign_col=args.assign_col or None,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+        train_fraction=args.train_fraction,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    from pyspark.sql import functions as F
+
+    agg = spark.read.parquet(args.output).agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "rows": agg["rows"],
+                "kept": agg["kept"],
+                "dropped": agg["rows"] - agg["kept"],
+                "threshold": args.threshold,
+                "clusters": args.clusters,
+                "output": args.output,
+                "elapsed_sec": round(time.time() - t0, 3),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_ingest(args) -> int:
     from splade_easy_spark.ingest import IngestConfig, ingest
 
@@ -353,6 +436,26 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--shingle-k", type=int, default=8)
     dc.add_argument("--min-hits", type=int, default=1)
     dc.set_defaults(fn=cmd_decontaminate)
+
+    ds = sub.add_parser("dedup-spans")
+    ds.add_argument("--input", required=True)
+    ds.add_argument("--output", required=True)
+    ds.add_argument("--id-col", default="doc_id")
+    ds.add_argument("--text-col", default="text")
+    ds.add_argument("--ngram", type=int, default=5)
+    ds.add_argument("--min-count", type=int, default=2)
+    ds.set_defaults(fn=cmd_dedup_spans)
+
+    sd = sub.add_parser("semdedup")
+    sd.add_argument("--input", required=True)
+    sd.add_argument("--output", required=True)
+    sd.add_argument("--id-col", default="vec_id")
+    sd.add_argument("--vec-col", default="embedding")
+    sd.add_argument("--threshold", type=float, default=0.95)
+    sd.add_argument("--clusters", type=int, default=64)
+    sd.add_argument("--assign-col", default="", help="precomputed cell column (skips the KMeans fit)")
+    sd.add_argument("--train-fraction", type=float, default=None)
+    sd.set_defaults(fn=cmd_semdedup)
 
     a = sub.add_parser("append")
     a.add_argument("--input", required=True)

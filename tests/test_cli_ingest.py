@@ -170,3 +170,33 @@ def test_cli_decontaminate(spark, tmp_path, capsys):
     # reference docs themselves are (trivially) contaminated and dropped
     kept_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert not any(i % 10 == 0 for i in kept_ids if i is not None)
+
+
+def test_cli_dedup_spans_and_semdedup(spark, tmp_path, capsys):
+    import json as _json
+
+    from splade_easy_spark import cli
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(1, f"head words {shared} tail one"), (2, f"{shared} other continuation two"),
+            (3, "independent text with nothing shared here at all")]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id INT, text STRING").write.parquet(src)
+    out = str(tmp_path / "clean")
+    assert cli.main(["dedup-spans", "--input", src, "--output", out, "--ngram", "4"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs"] == 3 and rep["tokens_removed"] > 0
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert "gamma" not in rows[1]["clean_text"]
+    assert rows[3]["kept_tokens"] == rows[3]["n_tokens"]
+
+    vecs = [(i, [float((i % 4 == 0) * 1.0 + 0.001 * i), 1.0, float(i % 7) / 7.0]) for i in range(24)]
+    vsrc = str(tmp_path / "vecs")
+    spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<FLOAT>").write.parquet(vsrc)
+    vout = str(tmp_path / "sd")
+    assert cli.main([
+        "semdedup", "--input", vsrc, "--output", vout,
+        "--threshold", "0.999", "--clusters", "1",
+    ]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 24 and rep["kept"] + rep["dropped"] == 24 and rep["dropped"] > 0
