@@ -55,6 +55,7 @@ JACCARD_THRESHOLD = 0.2
 NEAR_DUP_COS = 0.30
 SEMDEDUP_COS = 0.35
 DUP_NGRAM_N, DUP_NGRAM_MIN = 5, 2
+SIMHASH_MAX_HAMMING = 3
 ANN_PROBES = [0, 1, 2]
 ANN_K = 10
 EMB_DIM, LSH_PLANES = 64, 8
@@ -480,6 +481,13 @@ def q_jaccard_pairs(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir)).select(F.col("id").alias("doc_id"), "simhash")
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """Banded Hamming-distance join (Manku WWW'07): pigeonhole bands make
+    it EXACTLY equal to the all-pairs oracle while the plan is a bucketed
+    self-join on band values — no O(N²) stage."""
+    return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING)
 
 
 def q_quality(spark, sf_dir):
@@ -911,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         "quality_features": q_quality,
         "language_id": q_language_id,
         "curate_corpus": q_curate_corpus,
@@ -1063,6 +1072,15 @@ SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 ) WHERE j >= {JACCARD_THRESHOLD}""",
         "simhash": _sql_simhash(32),
+        # exact all-pairs scan — the banded Spark plan must reproduce it
+        # bit-for-bit (pigeonhole guarantees no false negatives, the
+        # bit_count verify removes false positives)
+        "simhash_near_dup": f"""
+WITH sig AS ({_sql_simhash(32)})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}""",
         "quality_features": f"""
 WITH {_TOK_CTE}
 SELECT d.doc_id,

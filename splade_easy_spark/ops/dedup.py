@@ -168,6 +168,76 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     return agg.select("id", sim.alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    hash_fn=md5_hash64,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance — EXACT at scale.
+
+    The classic banded trick (Manku et al., WWW'07 "Detecting
+    near-duplicates for web crawling"): split the ``bits``-bit fingerprint
+    into ``bands >= max_hamming + 1`` contiguous chunks; by pigeonhole any
+    pair within ``max_hamming`` differing bits agrees EXACTLY on at least
+    one chunk, so an equi-join on (band, chunk_value) finds every true
+    pair, and ``bit_count(a XOR b) <= max_hamming`` removes the false
+    positives.  Output therefore equals the all-pairs scan bit-for-bit
+    while the only shuffle is a bucketed self-join on band values — no
+    O(N²) stage anywhere, so the plan survives 100 TB (band values are
+    hash-mixed by construction; an all-identical-docs band is the same
+    skew class as minhash LSH buckets and is handled by AQE skew-join).
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    nb = bands if bands is not None else max_hamming + 1
+    if nb < max_hamming + 1:
+        raise ValueError(
+            f"bands={nb} cannot guarantee exactness for max_hamming={max_hamming}; "
+            f"need bands >= {max_hamming + 1}"
+        )
+    sig = simhash(df, id_col=id_col, text_col=text_col, bits=bits, hash_fn=hash_fn)
+    # contiguous chunks as even as possible (widths differ by at most 1;
+    # pigeonhole only needs disjoint coverage, not equal widths)
+    base, rem = divmod(bits, nb)
+    chunks, lo = [], 0
+    for i in range(nb):
+        w = base + (1 if i < rem else 0)
+        chunks.append((lo, w))
+        lo += w
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), lo)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("val"),
+            )
+            for i, (lo, w) in enumerate(chunks)
+        ]
+    )
+    keyed = sig.select("id", "simhash", F.explode(band_arr).alias("bk")).select(
+        "id", "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, on=["band", "val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def all_pairs_jaccard(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -96,6 +96,31 @@ def test_simhash_identical_docs_equal(spark, corpus_df):
     assert ham(out[1], out[8]) < ham(out[1], out[4])
 
 
+def test_simhash_near_dup_equals_all_pairs(spark, corpus_df):
+    """Pigeonhole exactness: the banded join reproduces the brute-force
+    all-pairs scan bit-for-bit at every max_hamming, including uneven band
+    widths (32 bits / 5 bands)."""
+    sig = {r["id"]: r["simhash"] for r in dedup.simhash(corpus_df, id_col="doc_id").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    for k, bands in [(2, None), (3, None), (3, 5)]:
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dedup.simhash_near_dup_pairs(
+                corpus_df, max_hamming=k, bands=bands
+            ).collect()
+        }
+        want = {
+            (a, b): ham(sig[a], sig[b])
+            for a in sig
+            for b in sig
+            if a < b and ham(sig[a], sig[b]) <= k
+        }
+        assert got == want
+    assert (1, 3) in got and got[(1, 3)] == 0  # exact dup → hamming 0
+    with pytest.raises(ValueError):
+        dedup.simhash_near_dup_pairs(corpus_df, max_hamming=3, bands=3)
+
+
 def test_cosine_topk_matches_numpy(spark):
     rng = np.random.default_rng(5)
     vecs = rng.normal(size=(50, 16)).astype(np.float32)
