@@ -128,13 +128,18 @@ def _sql_query_terms(text: str) -> str:
     return f"(VALUES {vals}) AS q(term)"
 
 
-def _sql_bm25_topk(text: str, k: int = 10) -> str:
+def _sql_bm25_topk(text: str, k: int = 10, doc_pred: str | None = None) -> str:
+    filt = (
+        f"\n  AND doc_id IN (SELECT doc_id FROM documents WHERE {doc_pred})"
+        if doc_pred
+        else ""
+    )
     return f"""{_BM25_CTES}
 SELECT doc_id, round(score, 4) AS score FROM (
   SELECT w.doc_id, sum(w.weight) AS score
   FROM w JOIN {_sql_query_terms(text)} USING (term)
   GROUP BY w.doc_id
-) WHERE score > 0
+) WHERE score > 0{filt}
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
@@ -426,6 +431,16 @@ def q_bm25_topk_multi(spark, sf_dir):
     return out.select(
         "query_id", "rank", F.col("id").alias("doc_id"), F.round("score", 4).alias("score")
     )
+
+
+def q_bm25_filtered_topk(spark, sf_dir):
+    """Filtered retrieval: candidate set restricted to lang='fr' while
+    idf/avgdl stay full-corpus (Lucene filter semantics)."""
+    out = bm25_topk(
+        spark, _docs(spark, sf_dir), FLAGSHIP_QUERY, 10,
+        doc_filter=F.col("lang") == "fr",
+    )
+    return out.select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
 def q_bm25_cosine_topk(spark, sf_dir):
@@ -911,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_multi": q_bm25_topk_multi,
         "bm25_cosine_topk": q_bm25_cosine_topk,
+        "bm25_filtered_topk": q_bm25_filtered_topk,
         "doc_vector": q_doc_vector,
         "point_get": q_point_get,
         "dedup_exact": q_dedup_exact,
@@ -1035,6 +1051,9 @@ ranked AS (
 )
 SELECT query_id, rank::INT AS rank, doc_id, round(score, 4) AS score
 FROM ranked WHERE rank <= 10""",
+        "bm25_filtered_topk": _sql_bm25_topk(
+            FLAGSHIP_QUERY, 10, doc_pred="lang = 'fr'"
+        ),
         "bm25_cosine_topk": f"""{_BM25_CTES},
 norms AS (SELECT doc_id, sqrt(sum(weight * weight)) AS norm FROM w GROUP BY doc_id),
 dotted AS (

@@ -74,8 +74,17 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     params: BM25Params | None = None,
+    doc_filter: Column | None = None,
 ) -> DataFrame:
-    """(id, score) top-k for one query string, desc score / asc id."""
+    """(id, score) top-k for one query string, desc score / asc id.
+
+    ``doc_filter`` is standard filtered retrieval: the predicate restricts
+    the CANDIDATE set while idf/avgdl stay full-corpus (Lucene semantics —
+    a filter narrows what may be returned, not what the corpus is).  The
+    predicate pushes down to the docs scan and the restriction is a
+    doc-grain semi-join on the already term-pruned candidates, so the
+    filter costs one pruned column scan — never a rescore.
+    """
     terms = analyze_query(query_text, IndexConfig(bm25=params or BM25Params()))
     if not terms:
         return spark.createDataFrame([], "id STRING, score DOUBLE")
@@ -84,6 +93,9 @@ def bm25_topk(
     scored = w.join(F.broadcast(qdf), "term").groupBy("id").agg(
         F.sum(F.col("weight") * F.col("qweight")).alias("score")
     )
+    if doc_filter is not None:
+        allowed = docs.where(doc_filter).select(F.col(id_col).alias("id"))
+        scored = scored.join(allowed, "id", "left_semi")
     if use_cosine:
         norms = bm25_weights(docs, id_col, text_col, params).groupBy("id").agg(
             F.sqrt(F.sum(F.col("weight") ** 2)).alias("norm")
@@ -109,8 +121,12 @@ def bm25_topk_multi(
     top_k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    doc_filter: Column | None = None,
 ) -> DataFrame:
-    """(query_id, rank, id, score): batch top-k, one job for all queries."""
+    """(query_id, rank, id, score): batch top-k, one job for all queries.
+
+    ``doc_filter`` as in :func:`bm25_topk` — candidate restriction with
+    full-corpus statistics, applied once before the per-query window."""
     rows = [
         (q["query_id"], term, qw)
         for q in queries
@@ -126,6 +142,9 @@ def bm25_topk_multi(
         .agg(F.sum(F.col("weight") * F.col("qweight")).alias("score"))
         .where(F.col("score") > 0)
     )
+    if doc_filter is not None:
+        allowed = docs.where(doc_filter).select(F.col(id_col).alias("id"))
+        scored = scored.join(allowed, "id", "left_semi")
     win = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
     return (
         scored.withColumn("rank", F.row_number().over(win))

@@ -29,7 +29,7 @@ import math
 import re
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from splade_easy_spark.config import IndexConfig
@@ -292,6 +292,7 @@ class Searcher:
         use_cosine: bool = False,
         return_text: bool = False,
         method: str = "sql",
+        doc_filter: Column | None = None,
     ) -> DataFrame:
         """Top-k search.  ``use_cosine=False`` is BM25 (dot) — the parity
         mode vs the reference's ``compute_splade_score(use_cosine=False)``.
@@ -302,7 +303,20 @@ class Searcher:
         runs the same kernel over the normalized weight stream packed at
         build time (indexes built before that stream existed silently fall
         back to the SQL path).
+
+        ``doc_filter``: filtered retrieval — a predicate over the stored
+        doc columns (conv_id, turn_idx, role, tool, ts, doc_len) that
+        restricts the CANDIDATE set while idf stays full-corpus (Lucene
+        filter semantics: the filter narrows what may be returned, never
+        what the corpus is).  Served on the SQL path as a doc-grain
+        semi-join between the scored candidates and the pushed-down
+        filtered docs scan.  WAND falls back to SQL under a filter: the
+        kernel's block-max threshold assumes every scored doc is
+        eligible, so post-kernel filtering would under-fill k — exact
+        filter support belongs inside the kernel, not bolted after it.
         """
+        if doc_filter is not None:
+            method = "sql"
         terms = analyze_query(query, self.config) if isinstance(query, str) else query
         if not terms:
             return self._attach_docs(
@@ -364,6 +378,12 @@ class Searcher:
                 scores = scores.join(
                     F.broadcast(deleted.select("doc_int")), "doc_int", "left_anti"
                 )
+            if doc_filter is not None:
+                # inclusion mask at doc_int grain; selectivity is unknown so
+                # the join strategy is left to AQE (broadcast when small)
+                scores = scores.join(
+                    self.docs.where(doc_filter).select("doc_int"), "doc_int", "left_semi"
+                )
         topk = scores.orderBy(F.desc("score"), F.asc("doc_int")).limit(top_k)
         return self._attach_docs(topk, return_text)
 
@@ -374,6 +394,7 @@ class Searcher:
         use_cosine: bool = False,
         method: str = "sql",
         prune_below: float = 0.0,
+        doc_filter: Column | None = None,
     ) -> DataFrame:
         """Batch evaluation of many queries in ONE Spark job (the bulk
         path the reference lacks entirely): explode all query terms, join
@@ -400,7 +421,13 @@ class Searcher:
         exactness-preserving cuts live in the kernel (MaxScore + repair)
         and this knob defaults off.  Pruning applies to the wand/wand_nox
         methods only; ``method='sql'`` stays the untouched oracle path.
+
+        ``doc_filter`` as in :func:`search` — candidate restriction with
+        full-corpus statistics, one semi-join for the whole batch (SQL
+        path; wand falls back for the same kernel-threshold reason).
         """
+        if doc_filter is not None:
+            method = "sql"
         rows = []
         for q in queries:
             for term, qw in analyze_query(q["text"], self.config):
@@ -553,6 +580,12 @@ class Searcher:
         if deleted0 is not None:
             scores = scores.join(
                 F.broadcast(deleted0.select("doc_int")), "doc_int", "left_anti"
+            )
+        if doc_filter is not None:
+            # BEFORE the partial top-k: heads taken over ineligible docs
+            # would evict eligible ones (the mask must precede any cut)
+            scores = scores.join(
+                self.docs.where(doc_filter).select("doc_int"), "doc_int", "left_semi"
             )
 
         # Partial per-partition top-k before the global window — the batch

@@ -259,3 +259,58 @@ def test_index_artifact_identical_across_parallelism(spark, tmp_path):
         xb = np.frombuffer(nb, dtype=np.float32)
         assert len(xa) == len(xb)
         assert np.allclose(xa, xb, rtol=1e-6, atol=1e-7)
+
+
+def test_filtered_search_matches_postfilter(corpus, spark):
+    """doc_filter = Lucene filter semantics: result equals the unfiltered
+    full ranking post-filtered to eligible docs, with UNCHANGED scores
+    (full-corpus idf — the filter narrows candidates, never statistics)."""
+    idx_dir, _, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    pred = F.col("role") == "user"
+    allowed = {r["doc_id"] for r in s.docs.where(pred).select("doc_id").collect()}
+    assert allowed, "fixture must have user turns"
+    for q in generate_query_set()[:6]:
+        full = [
+            (r["doc_id"], r["score"])
+            for r in s.search(q["text"], top_k=10**6).collect()
+        ]
+        expected = [(d, sc) for d, sc in full if d in allowed][:10]
+        got = [
+            (r["doc_id"], r["score"])
+            for r in s.search(q["text"], top_k=10, doc_filter=pred).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in expected]
+        for (_, gs), (_, es) in zip(got, expected):
+            assert abs(gs - es) < 1e-9
+
+
+def test_filtered_search_wand_falls_back(corpus, spark):
+    idx_dir, _, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    pred = F.col("turn_idx") % 2 == 0
+    q = generate_query_set()[7]["text"]
+    via_wand = s.search(q, top_k=5, method="wand", doc_filter=pred).collect()
+    via_sql = s.search(q, top_k=5, method="sql", doc_filter=pred).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in via_wand] == [
+        (r["doc_id"], round(r["score"], 9)) for r in via_sql
+    ]
+
+
+def test_filtered_search_many(corpus, spark):
+    idx_dir, _, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    pred = F.col("role") == "assistant"
+    queries = [{"query_id": f"q{i}", "text": q["text"]} for i, q in enumerate(generate_query_set()[10:14])]
+    batch = s.search_many(queries, top_k=5, doc_filter=pred).collect()
+    assert batch, "filtered batch returned nothing"
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for i, q in enumerate(queries):
+        single = [
+            (r["doc_id"], r["score"])
+            for r in s.search(q["text"], top_k=5, doc_filter=pred).collect()
+        ]
+        got = [(d, sc) for _, d, sc in sorted(by_qid.get(q["query_id"], []))]
+        assert got == single
