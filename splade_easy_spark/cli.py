@@ -212,14 +212,20 @@ def cmd_ingest(args) -> int:
 
 
 def cmd_search(args) -> int:
+    from pyspark.sql import functions as F
+
     from splade_easy_spark.query import Searcher
 
     spark = _spark(args)
     s = Searcher(spark, args.index, mode=args.mode)
     t0 = time.time()
+    # --filter is a SQL boolean expression over the stored doc columns
+    # (role, tool, conv_id, turn_idx, ts, doc_len), e.g. "role = 'user'";
+    # parsed by Catalyst via F.expr so the full SQL surface applies
+    doc_filter = F.expr(args.filter) if getattr(args, "filter", None) else None
     rows = s.search(
         args.query, top_k=args.top_k, use_cosine=args.cosine,
-        return_text=args.text, method=args.method,
+        return_text=args.text, method=args.method, doc_filter=doc_filter,
     ).collect()
     elapsed = time.time() - t0
     for r in rows:
@@ -374,6 +380,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--text", action="store_true")
     s.add_argument("--mode", default="disk", choices=["disk", "memory"])
     s.add_argument("--method", default="sql", choices=["sql", "wand"])
+    s.add_argument(
+        "--filter",
+        help="SQL predicate over stored doc columns restricting candidates "
+        "(full-corpus idf), e.g. \"role = 'user' AND turn_idx < 10\"",
+    )
     s.set_defaults(fn=cmd_search)
 
     c = sub.add_parser("console")
