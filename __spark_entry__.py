@@ -22,7 +22,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from splade_easy_spark.adhoc import bm25_topk, bm25_topk_multi, bm25_weights, doc_term_tf
+from splade_easy_spark.adhoc import (
+    bm25_topk,
+    bm25_topk_multi,
+    bm25_weights,
+    doc_term_tf,
+    facet_counts,
+    more_like_this,
+)
 from splade_easy_spark.functions.text import tokenize
 from splade_easy_spark.ops import (
     chunk,
@@ -440,6 +447,20 @@ def q_bm25_filtered_topk(spark, sf_dir):
         spark, _docs(spark, sf_dir), FLAGSHIP_QUERY, 10,
         doc_filter=F.col("lang") == "fr",
     )
+    return out.select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+def q_facet_counts(spark, sf_dir):
+    """Solr-style faceting: matching-doc counts per lang for the flagship
+    query (full match set, not top-k)."""
+    return facet_counts(spark, _docs(spark, sf_dir), FLAGSHIP_QUERY, "lang").select(
+        F.col("facet").alias("lang"), "n_docs"
+    )
+
+
+def q_more_like_this(spark, sf_dir):
+    """Lucene-style MLT seeded from DOC_VECTOR_ID's top-10 BM25 terms."""
+    out = more_like_this(spark, _docs(spark, sf_dir), DOC_VECTOR_ID, 10, 10)
     return out.select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
@@ -927,6 +948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_multi": q_bm25_topk_multi,
         "bm25_cosine_topk": q_bm25_cosine_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
+        "facet_counts": q_facet_counts,
+        "more_like_this": q_more_like_this,
         "doc_vector": q_doc_vector,
         "point_get": q_point_get,
         "dedup_exact": q_dedup_exact,
@@ -1054,6 +1077,27 @@ FROM ranked WHERE rank <= 10""",
         "bm25_filtered_topk": _sql_bm25_topk(
             FLAGSHIP_QUERY, 10, doc_pred="lang = 'fr'"
         ),
+        "facet_counts": f"""{_BM25_CTES},
+matched AS (
+  SELECT w.doc_id, sum(w.weight) AS score
+  FROM w JOIN {_sql_query_terms(FLAGSHIP_QUERY)} USING (term)
+  GROUP BY w.doc_id HAVING sum(w.weight) > 0
+)
+SELECT d.lang, count(*)::BIGINT AS n_docs
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY n_docs DESC, d.lang""",
+        "more_like_this": f"""{_BM25_CTES},
+src AS (
+  SELECT term, weight AS qweight FROM w WHERE doc_id = {DOC_VECTOR_ID}
+  ORDER BY round(weight, 9) DESC, term LIMIT 10
+)
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT w.doc_id, sum(w.weight * src.qweight) AS score
+  FROM w JOIN src USING (term)
+  WHERE w.doc_id <> {DOC_VECTOR_ID}
+  GROUP BY w.doc_id
+) WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 10""",
         "bm25_cosine_topk": f"""{_BM25_CTES},
 norms AS (SELECT doc_id, sqrt(sum(weight * weight)) AS norm FROM w GROUP BY doc_id),
 dotted AS (

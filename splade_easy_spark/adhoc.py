@@ -151,3 +151,76 @@ def bm25_topk_multi(
         .where(F.col("rank") <= top_k)
         .orderBy("query_id", "rank")
     )
+
+
+def facet_counts(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_text: str,
+    facet_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """(facet, n_docs) — Lucene/Solr-style faceting: the count of MATCHING
+    docs (BM25 score > 0 for the query) per value of ``facet_col``, desc
+    count / asc facet.  One plan: the scored candidate set joins back to
+    the docs scan pruned to (id, facet) — never a second tokenize pass —
+    and the facet agg is a tiny post-join hash agg (|facets| ≪ |docs|)."""
+    terms = analyze_query(query_text, IndexConfig(bm25=params or BM25Params()))
+    if not terms:
+        return spark.createDataFrame([], "facet STRING, n_docs BIGINT")
+    qdf = spark.createDataFrame(terms, "term STRING, qweight DOUBLE")
+    w = bm25_weights(docs, id_col, text_col, params)
+    matched = (
+        w.join(F.broadcast(qdf), "term")
+        .groupBy("id")
+        .agg(F.sum(F.col("weight") * F.col("qweight")).alias("score"))
+        .where(F.col("score") > 0)
+    )
+    facets = docs.select(F.col(id_col).alias("id"), F.col(facet_col).alias("facet"))
+    return (
+        matched.join(facets, "id")
+        .groupBy("facet")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("facet"))
+    )
+
+
+def more_like_this(
+    spark: SparkSession,
+    docs: DataFrame,
+    source_id,
+    query_terms: int = 10,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """(id, score) — Lucene-style More-Like-This: the source doc's top
+    ``query_terms`` BM25-weighted terms (desc weight, asc term — the tie
+    break makes the cut deterministic) become the query, with the source
+    weight as the query weight; the source doc itself is excluded.  The
+    interesting-term selection is a sort+limit over ONE doc's vector
+    (tiny), broadcast into the corpus-side join, so the whole thing stays
+    a single lazy plan with one corpus pass."""
+    w = bm25_weights(docs, id_col, text_col, params)
+    # the cut ranks on round(weight, 9): raw doubles can differ across
+    # engines in the last ulps (ln implementations), and a flip at the
+    # LIMIT boundary would swap a query term — at 1e-9 granularity exact
+    # rounded ties fall to the term tie-break identically everywhere
+    src = (
+        w.where(F.col("id") == source_id)
+        .orderBy(F.desc(F.round("weight", 9)), F.asc("term"))
+        .limit(query_terms)
+        .select("term", F.col("weight").alias("qweight"))
+    )
+    return (
+        w.where(F.col("id") != source_id)
+        .join(F.broadcast(src), "term")
+        .groupBy("id")
+        .agg(F.sum(F.col("weight") * F.col("qweight")).alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(top_k)
+    )

@@ -286,6 +286,28 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_facets(args) -> int:
+    from splade_easy_spark.query import Searcher
+
+    s = Searcher(_spark(args), args.index)
+    for r in s.facet_counts(args.query, args.by).collect():
+        print(f"{r['n_docs']:>8}  {r['facet']}")
+    return 0
+
+
+def cmd_mlt(args) -> int:
+    from splade_easy_spark.query import Searcher
+
+    s = Searcher(_spark(args), args.index)
+    rows = s.more_like_this(
+        args.doc_id, query_terms=args.query_terms, top_k=args.top_k
+    ).collect()
+    for r in rows:
+        print(f"{r['score']:.4f}  {r['doc_id']}  [{r['role']}]")
+    print(f"-- {len(rows)} hits", file=sys.stderr)
+    return 0
+
+
 def cmd_delete(args) -> int:
     from splade_easy_spark.index.maintenance import delete
 
@@ -390,6 +412,19 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("console")
     c.add_argument("--index", required=True)
     c.set_defaults(fn=cmd_console)
+
+    fa = sub.add_parser("facets")
+    fa.add_argument("--index", required=True)
+    fa.add_argument("--query", required=True)
+    fa.add_argument("--by", required=True, help="stored doc column to facet on (e.g. role)")
+    fa.set_defaults(fn=cmd_facets)
+
+    ml = sub.add_parser("mlt")
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--doc-id", required=True)
+    ml.add_argument("--top-k", type=int, default=10)
+    ml.add_argument("--query-terms", type=int, default=10)
+    ml.set_defaults(fn=cmd_mlt)
 
     st = sub.add_parser("stats")
     st.add_argument("--index", required=True)

@@ -621,6 +621,121 @@ class Searcher:
         )
 
     # ------------------------------------------------------------------
+    def facet_counts(
+        self,
+        query: str | list[tuple[str, float]],
+        facet_col: str,
+        doc_filter: Column | None = None,
+    ) -> DataFrame:
+        """(facet, n_docs) — Lucene/Solr-style faceting: matching-doc
+        counts (score > 0, tombstones excluded) per value of a stored doc
+        column, desc count / asc facet.  The match set joins back to the
+        docs scan pruned to (doc_int, facet); the facet agg itself is tiny
+        (|facets| ≪ |docs|), so the cost is one postings-bucket scan plus
+        one doc-grain join — the same work as a search without the top-k."""
+        terms = analyze_query(query, self.config) if isinstance(query, str) else query
+        if not terms:
+            return self.spark.createDataFrame([], "facet STRING, n_docs BIGINT")
+        scores = self._scores(terms, use_cosine=False)
+        deleted = self._deleted()
+        if deleted is not None:
+            scores = scores.join(
+                F.broadcast(deleted.select("doc_int")), "doc_int", "left_anti"
+            )
+        d = self.docs.where(doc_filter) if doc_filter is not None else self.docs
+        return (
+            scores.join(d.select("doc_int", F.col(facet_col).alias("facet")), "doc_int")
+            .groupBy("facet")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc("facet"))
+        )
+
+    def more_like_this(
+        self,
+        doc_id: str,
+        query_terms: int = 10,
+        top_k: int = 10,
+        use_cosine: bool = False,
+        method: str = "sql",
+        doc_filter: Column | None = None,
+    ) -> DataFrame:
+        """Lucene-style More-Like-This: seed a search from the source
+        doc's top ``query_terms`` BM25-weighted terms (desc weight, asc
+        term), query weight = source weight, source doc excluded.
+
+        Scale shape: the source vector is NEVER read from doc_terms (a
+        doc-grain lookup there scans every term bucket) — instead the
+        text comes from one pushed point lookup on docs, tf is counted
+        driver-side with the same analyzer rules as the build
+        (``analyze_query``'s token pattern / length gates), and the
+        weights come from one tiny job joining that tf list against the
+        term-pruned ``term_stats`` scan through the builder's own
+        ``bm25_weight_expr`` — no formula duplicated, no full-table pass.
+        The term cut ranks on round(weight, 9) so near-ulp weight noise
+        can't flip the LIMIT boundary between runs."""
+        from collections import Counter
+
+        from splade_easy_spark.functions.bm25 import bm25_weight_expr
+
+        src_rows = (
+            self.docs.where(F.col("doc_id") == doc_id)
+            .select("text", "doc_len")
+            .limit(1)
+            .collect()
+        )
+        if not src_rows:
+            raise KeyError(f"doc_id not in index: {doc_id!r}")
+        text, doc_len = src_rows[0]["text"], int(src_rows[0]["doc_len"])
+        a = self.config.analyzer
+        s = (text or "").lower() if a.lowercase else (text or "")
+        tf = Counter(
+            t
+            for t in re.findall(a.token_pattern, s)
+            if a.min_token_len <= len(t) <= a.max_token_len
+        )
+        if not tf:
+            return self._attach_docs(
+                self.spark.createDataFrame([], "doc_int LONG, score DOUBLE"), False
+            )
+        stats = self.cat.corpus_stats(self.spark)
+        avgdl = float(stats["avgdl"] or 1.0)
+        tfdf = self.spark.createDataFrame(
+            sorted(tf.items()), "term STRING, tf INT"
+        )
+        ts = (
+            self.cat.read(self.spark, "term_stats")
+            .where(F.col("term").isin(list(tf)))
+            .select("term", "idf")
+        )
+        picked = (
+            tfdf.join(ts, "term")
+            .select(
+                "term",
+                bm25_weight_expr(
+                    F.col("tf"), F.lit(doc_len), F.lit(avgdl), F.col("idf"),
+                    self.config.bm25,
+                ).alias("w"),
+            )
+            .orderBy(F.desc(F.round("w", 9)), F.asc("term"))
+            .limit(query_terms)
+            .collect()
+        )
+        terms = [(r["term"], float(r["w"])) for r in picked]
+        if not terms:
+            return self._attach_docs(
+                self.spark.createDataFrame([], "doc_int LONG, score DOUBLE"), False
+            )
+        # overfetch by one: the source doc itself is typically the top hit
+        out = self.search(
+            terms, top_k=top_k + 1, use_cosine=use_cosine, method=method,
+            doc_filter=doc_filter,
+        )
+        return (
+            out.where(F.col("doc_id") != doc_id)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(top_k)
+        )
+
     def get(self, doc_id: str, load_text: bool = True) -> dict | None:
         """Point lookup.  The reference scans every shard until hit
         (``src/splade_easy/retriever.py:204-213``); here the doc_id

@@ -314,3 +314,54 @@ def test_filtered_search_many(corpus, spark):
         ]
         got = [(d, sc) for _, d, sc in sorted(by_qid.get(q["query_id"], []))]
         assert got == single
+
+
+def test_facet_counts_matches_oracle(corpus, spark):
+    """Faceting = matching-doc counts per stored column value, full match
+    set (not top-k), tombstone-aware by construction."""
+    idx_dir, oracle, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    roles = {r["doc_id"]: r["role"] for r in s.docs.select("doc_id", "role").collect()}
+    for q in generate_query_set()[:4]:
+        qv = oracle.query_terms(q["text"])
+        expected = {}
+        for d in oracle.tf:
+            if oracle.score(qv, d) > 0:
+                expected[roles[d]] = expected.get(roles[d], 0) + 1
+        got = {r["facet"]: r["n_docs"] for r in s.facet_counts(q["text"], "role").collect()}
+        assert got == expected
+        # output ordering: desc count, asc facet
+        rows = s.facet_counts(q["text"], "role").collect()
+        assert [(r["facet"], r["n_docs"]) for r in rows] == sorted(
+            got.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+
+
+def test_more_like_this_matches_oracle(corpus, spark):
+    idx_dir, oracle, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    sources = sorted(oracle.tf)[::201][:3]  # a few spread-out docs
+    for src in sources:
+        vec = oracle.doc_vector(src)
+        top_terms = sorted(vec.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))[:10]
+        qv = dict(top_terms)
+        scored = []
+        for d in oracle.tf:
+            if d == src:
+                continue
+            sc = oracle.score(qv, d)
+            if sc > 0:
+                scored.append((d, sc))
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        got = [
+            (r["doc_id"], r["score"])
+            for r in s.more_like_this(src, query_terms=10, top_k=10).collect()
+        ]
+        assert_topk_matches(got, scored[:30], 10)
+
+
+def test_more_like_this_unknown_doc_raises(corpus, spark):
+    idx_dir, _, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    with pytest.raises(KeyError):
+        s.more_like_this("no#such", top_k=3)
