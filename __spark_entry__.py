@@ -29,6 +29,8 @@ from splade_easy_spark.adhoc import (
     doc_term_tf,
     facet_counts,
     more_like_this,
+    phrase_search,
+    search_snippets,
 )
 from splade_easy_spark.functions.text import tokenize
 from splade_easy_spark.ops import (
@@ -148,6 +150,52 @@ SELECT doc_id, round(score, 4) AS score FROM (
   GROUP BY w.doc_id
 ) WHERE score > 0{filt}
 ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _sql_phrase_search(phrase: str, k: int = 10) -> str:
+    import re
+
+    ordered = re.findall(PAT, phrase.lower())
+    distinct = sorted(set(ordered))
+    vals = ", ".join(f"('{t}')" for t in distinct)
+    needle = " " + " ".join(ordered) + " "
+    return f"""{_BM25_CTES},
+cand AS (
+  SELECT w.doc_id, sum(w.weight) AS score
+  FROM w JOIN (VALUES {vals}) AS q(term) USING (term)
+  GROUP BY w.doc_id
+  HAVING count(DISTINCT w.term) = {len(distinct)}
+)
+SELECT c.doc_id, round(c.score, 4) AS score
+FROM cand c JOIN tok USING (doc_id)
+WHERE contains(' ' || array_to_string(toks, ' ') || ' ', '{needle}')
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _sql_snippets(text: str, k: int = 10, before: int = 30, width: int = 80) -> str:
+    import re
+
+    terms = sorted(set(re.findall(PAT, text.lower())))
+    sentinel = 1 << 30
+    pos = "least(" + ", ".join(
+        f"coalesce(nullif(strpos(lower(d.text), '{t}'), 0), {sentinel})" for t in terms
+    ) + ")"
+    return f"""{_BM25_CTES},
+hits AS (
+  SELECT doc_id, score FROM (
+    SELECT w.doc_id, sum(w.weight) AS score
+    FROM w JOIN {_sql_query_terms(text)} USING (term)
+    GROUP BY w.doc_id
+  ) WHERE score > 0
+  ORDER BY score DESC, doc_id LIMIT {k}
+),
+positioned AS (
+  SELECT h.doc_id, h.score, ({pos})::INT AS pos, d.text
+  FROM hits h JOIN documents d USING (doc_id)
+)
+SELECT doc_id, round(score, 4) AS score, pos,
+       substring(text, greatest(pos - {before}, 1), {width}) AS snippet
+FROM positioned ORDER BY score DESC, doc_id"""
 
 
 _SHINGLE_CTE = f"""
@@ -462,6 +510,28 @@ def q_more_like_this(spark, sf_dir):
     """Lucene-style MLT seeded from DOC_VECTOR_ID's top-10 BM25 terms."""
     out = more_like_this(spark, _docs(spark, sf_dir), DOC_VECTOR_ID, 10, 10)
     return out.select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+PHRASE_QUERY = "hash join"
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase match (conjunctive candidates + token-sequence verify),
+    ranked by BM25 over the phrase terms."""
+    out = phrase_search(spark, _docs(spark, sf_dir), PHRASE_QUERY, 10)
+    return out.select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+def q_snippets(spark, sf_dir):
+    """KWIC snippets for the flagship query's top-10: earliest query-term
+    character position + an 80-char window starting 30 chars before it."""
+    out = search_snippets(spark, _docs(spark, sf_dir), FLAGSHIP_QUERY, 10)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "pos",
+        "snippet",
+    )
 
 
 def q_bm25_cosine_topk(spark, sf_dir):
@@ -950,6 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "facet_counts": q_facet_counts,
         "more_like_this": q_more_like_this,
+        "phrase_search": q_phrase_search,
+        "snippets": q_snippets,
         "doc_vector": q_doc_vector,
         "point_get": q_point_get,
         "dedup_exact": q_dedup_exact,
@@ -1077,6 +1149,8 @@ FROM ranked WHERE rank <= 10""",
         "bm25_filtered_topk": _sql_bm25_topk(
             FLAGSHIP_QUERY, 10, doc_pred="lang = 'fr'"
         ),
+        "phrase_search": _sql_phrase_search(PHRASE_QUERY, 10),
+        "snippets": _sql_snippets(FLAGSHIP_QUERY, 10),
         "facet_counts": f"""{_BM25_CTES},
 matched AS (
   SELECT w.doc_id, sum(w.weight) AS score

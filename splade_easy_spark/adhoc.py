@@ -224,3 +224,114 @@ def more_like_this(
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(top_k)
     )
+
+
+def phrase_search(
+    spark: SparkSession,
+    docs: DataFrame,
+    phrase: str,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+    analyzer: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """(id, score) — exact phrase search without a positional index, the
+    way a scale-out engine does it: CANDIDATE GENERATION first (docs
+    containing ALL distinct phrase terms, straight off the term-pruned
+    weights — the cheap conjunctive set), then VERIFICATION of the token
+    sequence on just those docs' text.  The verify predicate re-tokenizes
+    only the candidate rows (|candidates| ≪ |corpus| for selective
+    phrases), so the expensive text pass never touches non-matching docs.
+    Ranking is BM25 over the phrase's distinct terms, desc score / asc id.
+    """
+    cfg = (
+        IndexConfig(bm25=params or BM25Params(), analyzer=analyzer)
+        if analyzer is not None
+        else IndexConfig(bm25=params or BM25Params())
+    )
+    ordered = _phrase_tokens(phrase, cfg)
+    if not ordered:
+        return spark.createDataFrame([], "id STRING, score DOUBLE")
+    distinct = sorted(set(ordered))
+    qdf = spark.createDataFrame([(t,) for t in distinct], "term STRING")
+    w = bm25_weights(docs, id_col, text_col, params, analyzer)
+    cand = (
+        w.join(F.broadcast(qdf), "term")
+        .groupBy("id")
+        .agg(
+            F.sum("weight").alias("score"),
+            F.count_distinct("term").alias("_nt"),
+        )
+        .where(F.col("_nt") == len(distinct))
+    )
+    needle = " " + " ".join(ordered) + " "
+    hay = F.concat(
+        F.lit(" "), F.array_join(tokenize(F.col(text_col), analyzer), " "), F.lit(" ")
+    )
+    verified = (
+        cand.join(
+            docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+        )
+        .where(F.instr(hay, needle) > 0)
+        .select("id", "score")
+    )
+    return verified.orderBy(F.desc("score"), F.asc("id")).limit(top_k)
+
+
+def _phrase_tokens(phrase: str, cfg: IndexConfig) -> list[str]:
+    """Ordered analyzer tokens of a phrase (duplicates kept — unlike
+    analyze_query's dedup, sequence matching needs every position)."""
+    import re as _re
+
+    a = cfg.analyzer
+    s = phrase.lower() if a.lowercase else phrase
+    return [
+        t
+        for t in _re.findall(a.token_pattern, s)
+        if a.min_token_len <= len(t) <= a.max_token_len
+    ]
+
+
+def search_snippets(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_text: str,
+    top_k: int = 10,
+    before: int = 30,
+    width: int = 80,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """(id, score, pos, snippet) — KWIC highlighting for the top-k hits:
+    ``pos`` is the earliest 1-based character position of ANY query term
+    in lower(text) (every hit contains ≥1 term — tokens are substrings of
+    the text they were cut from), ``snippet`` the ``width``-char window
+    starting ``before`` chars earlier.  The window math runs only on the
+    k result rows (post-limit), so snippeting adds one point-join to the
+    search plan, never a corpus pass."""
+    terms = analyze_query(query_text, IndexConfig(bm25=params or BM25Params()))
+    hits = bm25_topk(spark, docs, query_text, top_k, id_col=id_col,
+                     text_col=text_col, params=params)
+    hay = F.lower(F.col(text_col))
+    sentinel = 1 << 30
+    pos = F.least(
+        *[
+            F.coalesce(F.nullif(F.instr(hay, t), F.lit(0)), F.lit(sentinel))
+            for t, _ in terms
+        ]
+    )
+    return (
+        hits.join(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+        .withColumn("pos", pos.cast("int"))
+        .select(
+            "id",
+            "score",
+            "pos",
+            F.expr(
+                f"substring({text_col}, greatest(pos - {before}, 1), {width})"
+            ).alias("snippet"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+    )

@@ -513,3 +513,50 @@ def test_multimodal_resize(spark):
             assert (r["payload"] is None) == (o["payload"] is None)
             if o["payload"] is not None:
                 assert bytes(r["payload"]) == bytes(o["payload"])  # passthrough
+
+
+# --------------------------------------------------------------------------
+# fulltext extensions: phrase search, snippets (adhoc module)
+# --------------------------------------------------------------------------
+
+def test_phrase_search_exact_sequence(spark, corpus_df):
+    from splade_easy_spark.adhoc import phrase_search
+
+    hits = phrase_search(spark, corpus_df, "lazy dog", top_k=10, id_col="doc_id")
+    ids = [r["id"] for r in hits.collect()]
+    # docs 1, 3, 8 contain the contiguous sequence "lazy dog"; doc 2 has
+    # "lazy cat" (shares 'lazy' but must NOT match); none others qualify
+    assert set(ids) == {1, 3, 8}
+    # word order matters: reversed phrase matches nothing
+    assert phrase_search(spark, corpus_df, "dog lazy", top_k=10, id_col="doc_id").count() == 0
+    # sub-token strings must not match ("azy do" is inside the text but is
+    # not a token sequence)
+    assert phrase_search(spark, corpus_df, "", top_k=10, id_col="doc_id").count() == 0
+
+
+def test_phrase_search_repeated_token(spark):
+    from splade_easy_spark.adhoc import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "tick tock tick tick tock"), (2, "tick tock tock"), (3, "tick tick tock")],
+        "doc_id INT, text STRING",
+    )
+    ids = {r["id"] for r in phrase_search(spark, df, "tick tick tock", id_col="doc_id").collect()}
+    assert ids == {1, 3}  # duplicate positions preserved in the needle
+
+
+def test_search_snippets_window(spark, corpus_df):
+    from splade_easy_spark.adhoc import search_snippets
+
+    out = search_snippets(spark, corpus_df, "fox jumps", top_k=5, before=5, width=12, id_col="doc_id")
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows, "query should match"
+    for r in rows.values():
+        text = {1: "the quick brown fox jumps over the lazy dog",
+                2: "the quick brown fox jumps over the lazy cat",
+                3: "the quick brown fox jumps over the lazy dog",
+                8: "the quick brown fox leaps over the lazy dog"}[r["id"]]
+        # pos = earliest query-term occurrence (1-based): 'fox' at 17
+        assert r["pos"] == 17
+        assert r["snippet"] == text[17 - 5 - 1 : 17 - 5 - 1 + 12]
+        assert "fox" in r["snippet"]
