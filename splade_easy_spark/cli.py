@@ -308,6 +308,17 @@ def cmd_mlt(args) -> int:
     return 0
 
 
+def cmd_phrase(args) -> int:
+    from splade_easy_spark.query import Searcher
+
+    s = Searcher(_spark(args), args.index)
+    rows = s.phrase_search(args.query, top_k=args.top_k).collect()
+    for r in rows:
+        print(f"{r['score']:.4f}  {r['doc_id']}  [{r['role']}]")
+    print(f"-- {len(rows)} hits", file=sys.stderr)
+    return 0
+
+
 def cmd_delete(args) -> int:
     from splade_easy_spark.index.maintenance import delete
 
@@ -425,6 +436,12 @@ def main(argv: list[str] | None = None) -> int:
     ml.add_argument("--top-k", type=int, default=10)
     ml.add_argument("--query-terms", type=int, default=10)
     ml.set_defaults(fn=cmd_mlt)
+
+    ph = sub.add_parser("phrase")
+    ph.add_argument("--index", required=True)
+    ph.add_argument("--query", required=True, help="exact token sequence to match")
+    ph.add_argument("--top-k", type=int, default=10)
+    ph.set_defaults(fn=cmd_phrase)
 
     st = sub.add_parser("stats")
     st.add_argument("--index", required=True)

@@ -621,6 +621,74 @@ class Searcher:
         )
 
     # ------------------------------------------------------------------
+    def phrase_search(
+        self,
+        phrase: str,
+        top_k: int = 10,
+        doc_filter: Column | None = None,
+    ) -> DataFrame:
+        """Exact phrase search over the index, no positional postings:
+        conjunctive CANDIDATE GENERATION off the term-bucketed weights
+        (docs containing ALL distinct phrase terms — bucket-pruned scan,
+        one hash agg), then token-sequence VERIFICATION re-tokenizing only
+        the candidate docs' text (|candidates| ≪ |corpus| for selective
+        phrases; the docs join is doc_int-grain).  Ranked by BM25 over the
+        phrase's distinct terms, desc score / asc doc_id — same semantics
+        as ``adhoc.phrase_search``."""
+        import zlib
+
+        from splade_easy_spark.adhoc import _phrase_tokens
+        from splade_easy_spark.functions.text import tokenize
+
+        if "text" not in self.docs.columns:
+            raise ValueError(
+                "phrase_search needs stored text; this index has none "
+                "(vector-mode build)"
+            )
+        ordered = _phrase_tokens(phrase, self.config)
+        if not ordered:
+            return self._attach_docs(
+                self.spark.createDataFrame([], "doc_int LONG, score DOUBLE"), False
+            )
+        distinct = sorted(set(ordered))
+        buckets = sorted(
+            {zlib.crc32(t.encode()) % self.config.term_buckets for t in distinct}
+        )
+        dt = self.doc_terms.where(
+            F.col("tb").isin(buckets) & F.col("term").isin(distinct)
+        )
+        cand = (
+            dt.groupBy("doc_int")
+            .agg(
+                F.sum("weight").alias("score"),
+                F.count_distinct("term").alias("_nt"),
+            )
+            .where(F.col("_nt") == len(distinct))
+            .select("doc_int", "score")
+        )
+        deleted = self._deleted()
+        if deleted is not None:
+            cand = cand.join(
+                F.broadcast(deleted.select("doc_int")), "doc_int", "left_anti"
+            )
+        if doc_filter is not None:
+            cand = cand.join(
+                self.docs.where(doc_filter).select("doc_int"), "doc_int", "left_semi"
+            )
+        needle = " " + " ".join(ordered) + " "
+        hay = F.concat(
+            F.lit(" "),
+            F.array_join(tokenize(F.col("text"), self.config.analyzer), " "),
+            F.lit(" "),
+        )
+        verified = (
+            cand.join(self.docs.select("doc_int", "text"), "doc_int")
+            .where(F.instr(hay, needle) > 0)
+            .select("doc_int", "score")
+        )
+        topk = verified.orderBy(F.desc("score"), F.asc("doc_int")).limit(top_k)
+        return self._attach_docs(topk, False)
+
     def facet_counts(
         self,
         query: str | list[tuple[str, float]],

@@ -365,3 +365,47 @@ def test_more_like_this_unknown_doc_raises(corpus, spark):
     s = Searcher(spark, idx_dir, CFG)
     with pytest.raises(KeyError):
         s.more_like_this("no#such", top_k=3)
+
+
+def test_phrase_search_index_matches_bruteforce(corpus, spark):
+    """Index-backed phrase search = brute force: docs whose token stream
+    contains the contiguous sequence, ranked by BM25 sum over the phrase's
+    distinct terms."""
+    from tests.oracle import tokenize as tok_py
+
+    idx_dir, oracle, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    # derive a phrase that certainly occurs: first two tokens of a mid doc
+    texts = {d: " ".join(tok_py(oracle_text)) for d, oracle_text in _fixture_texts(oracle).items()}
+    src = sorted(texts)[100]
+    phrase_toks = tok_py(texts[src])[:2]
+    phrase = " ".join(phrase_toks)
+    needle = " " + phrase + " "
+    expected = []
+    for d, toks_joined in texts.items():
+        if needle in " " + toks_joined + " ":
+            score = sum(oracle.doc_weight(t, d) for t in sorted(set(phrase_toks)))
+            expected.append((d, score))
+    expected.sort(key=lambda kv: (-kv[1], kv[0]))
+    got = [(r["doc_id"], r["score"]) for r in s.phrase_search(phrase, top_k=10).collect()]
+    assert_topk_matches(got, expected[:30], 10)
+    assert got, "chosen phrase must match at least its source doc"
+
+
+def _fixture_texts(oracle):
+    # BM25Oracle stores tf Counters; reconstruct token streams is lossy —
+    # keep original texts alongside instead
+    return _FIXTURE_TEXTS
+
+
+_FIXTURE_TEXTS = {}
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _capture_texts(corpus, spark):
+    idx_dir, _, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    _FIXTURE_TEXTS.clear()
+    _FIXTURE_TEXTS.update(
+        {r["doc_id"]: r["text"] for r in s.docs.select("doc_id", "text").collect()}
+    )
