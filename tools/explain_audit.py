@@ -275,6 +275,53 @@ def main() -> None:
             formatted(entry.queries()["remove_dup_spans"](spark, sf_dir)),
         )
     )
+    from pyspark.sql import functions as FF
+
+    sections.append(
+        (
+            "filtered search — doc_filter candidate restriction",
+            "the filter predicate is PUSHED to the docs parquet scan "
+            "(PushedFilters EqualTo on the filter column) and lands as a "
+            "doc_int-grain join against the scored candidates — idf/avgdl "
+            "untouched (no second doc_terms pass), TakeOrderedAndProject "
+            "above.",
+            formatted(
+                s.search("baba0 ceba1 diba2", top_k=10, doc_filter=FF.col("role") == "user")
+            ),
+        )
+    )
+    sections.append(
+        (
+            "facet_counts — matching-doc counts per stored column",
+            "same pruned doc_terms scan as a search, score>0 match set, "
+            "doc_int join to a (doc_int, facet)-pruned docs scan "
+            "(ReadSchema two columns), tiny final hash agg on facet — "
+            "no top-k, no extra corpus pass.",
+            formatted(s.facet_counts("baba0 ceba1 diba2", "role")),
+        )
+    )
+    sections.append(
+        (
+            "more_like_this — seeded search (source vector never scans doc_terms)",
+            "the returned plan is a plain term-pruned search over the "
+            "seeded terms; the seeding itself ran as one pushed point "
+            "lookup on docs + one term-pruned term_stats join (driver-side "
+            "tf, builder's own weight expr) — verify the doc_terms scan "
+            "below prunes to the 10 seeded terms, not the source doc.",
+            formatted(s.more_like_this("conv_00000001#2", query_terms=10, top_k=10)),
+        )
+    )
+    sections.append(
+        (
+            "phrase_search — conjunctive candidates + sequence verify",
+            "bucket-pruned doc_terms scan (PartitionFilters tb, "
+            "PushedFilters In(term)), hash agg with count(distinct term) "
+            "conjunction, THEN the docs text join + instr verify — the "
+            "re-tokenize touches only candidate rows, downstream of the "
+            "candidate filter in the plan.",
+            formatted(s.phrase_search("baba0 ceba1", top_k=10)),
+        )
+    )
     out = ["# EXPLAIN — headline physical plans", ""]
     out.append(
         "Generated by `python tools/explain_audit.py`; plans from the live "
