@@ -149,6 +149,26 @@ def main() -> None:
         searcher.search(q1, top_k=10, method="wand").collect()
         timings["search_wand"] = round(time.time() - t0, 3)
 
+        # fulltext extensions (round 5): filtered retrieval, phrase,
+        # facets, more-like-this — all light query-side rows (no index
+        # build), timed on the same index as the search rows above
+        t0 = time.time()
+        searcher.search(q1, top_k=10, doc_filter=F.col("role") == "user").collect()
+        timings["search_filtered"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        searcher.phrase_search(" ".join(q1.split()[:2]), top_k=10).collect()
+        timings["phrase_search"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        searcher.facet_counts(q1, "role").collect()
+        timings["facet_counts"] = round(time.time() - t0, 3)
+
+        mlt_seed = searcher.docs.select("doc_id").orderBy("doc_id").first()["doc_id"]
+        t0 = time.time()
+        searcher.more_like_this(mlt_seed, query_terms=10, top_k=10).collect()
+        timings["more_like_this"] = round(time.time() - t0, 3)
+
         # block-max pruning effectiveness: blocks decoded vs blocks matching
         # the query's terms (instrumented run of the same exact kernel)
         from splade_easy_spark.query.searcher import analyze_query
