@@ -316,12 +316,12 @@ def search_snippets(
                      text_col=text_col, params=params)
     hay = F.lower(F.col(text_col))
     sentinel = 1 << 30
-    pos = F.least(
-        *[
-            F.coalesce(F.nullif(F.instr(hay, t), F.lit(0)), F.lit(sentinel))
-            for t, _ in terms
-        ]
-    )
+    cands = [
+        F.coalesce(F.nullif(F.instr(hay, t), F.lit(0)), F.lit(sentinel))
+        for t, _ in terms
+    ]
+    # F.least requires >=2 columns — a one-term query indexes directly
+    pos = cands[0] if len(cands) == 1 else F.least(*cands)
     return (
         hits.join(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
         .withColumn("pos", pos.cast("int"))

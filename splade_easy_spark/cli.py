@@ -223,15 +223,23 @@ def cmd_search(args) -> int:
     # (role, tool, conv_id, turn_idx, ts, doc_len), e.g. "role = 'user'";
     # parsed by Catalyst via F.expr so the full SQL surface applies
     doc_filter = F.expr(args.filter) if getattr(args, "filter", None) else None
-    rows = s.search(
-        args.query, top_k=args.top_k, use_cosine=args.cosine,
-        return_text=args.text, method=args.method, doc_filter=doc_filter,
-    ).collect()
+    if getattr(args, "snippet", False):
+        rows = s.search_snippets(
+            args.query, top_k=args.top_k, use_cosine=args.cosine,
+            method=args.method, doc_filter=doc_filter,
+        ).collect()
+    else:
+        rows = s.search(
+            args.query, top_k=args.top_k, use_cosine=args.cosine,
+            return_text=args.text, method=args.method, doc_filter=doc_filter,
+        ).collect()
     elapsed = time.time() - t0
     for r in rows:
         d = r.asDict()
         line = f"{d['score']:.4f}  {d['doc_id']}  [{d['role']}]"
-        if args.text:
+        if "snippet" in d:
+            line += "  …" + (d.get("snippet") or "") + "…"
+        elif args.text:
             line += "  " + (d.get("text") or "")[:120]
         print(line)
     print(f"-- {len(rows)} hits in {elapsed:.2f}s", file=sys.stderr)
@@ -417,6 +425,10 @@ def main(argv: list[str] | None = None) -> int:
         "--filter",
         help="SQL predicate over stored doc columns restricting candidates "
         "(full-corpus idf), e.g. \"role = 'user' AND turn_idx < 10\"",
+    )
+    s.add_argument(
+        "--snippet", action="store_true",
+        help="show a KWIC window around the earliest query-term hit",
     )
     s.set_defaults(fn=cmd_search)
 

@@ -745,6 +745,11 @@ class Searcher:
 
         from splade_easy_spark.functions.bm25 import bm25_weight_expr
 
+        if "text" not in self.docs.columns:
+            raise ValueError(
+                "more_like_this needs stored text; this index has none "
+                "(vector-mode build)"
+            )
         src_rows = (
             self.docs.where(F.col("doc_id") == doc_id)
             .select("text", "doc_len")
@@ -802,6 +807,56 @@ class Searcher:
             out.where(F.col("doc_id") != doc_id)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(top_k)
+        )
+
+    def search_snippets(
+        self,
+        query: str | list[tuple[str, float]],
+        top_k: int = 10,
+        before: int = 30,
+        width: int = 80,
+        use_cosine: bool = False,
+        method: str = "sql",
+        doc_filter: Column | None = None,
+    ) -> DataFrame:
+        """(doc_id, score, pos, snippet, …) — KWIC highlighting over the
+        index: the regular top-k search plus, per hit, the earliest
+        1-based character position of any query term in lower(text) and a
+        ``width``-char window starting ``before`` chars earlier.  The
+        window math runs post-limit on the k result rows (the text join
+        the search already does), never a corpus pass — same semantics as
+        ``adhoc.search_snippets``."""
+        if "text" not in self.docs.columns:
+            raise ValueError(
+                "search_snippets needs stored text; this index has none "
+                "(vector-mode build)"
+            )
+        terms = analyze_query(query, self.config) if isinstance(query, str) else query
+        hits = self.search(
+            query, top_k=top_k, use_cosine=use_cosine, return_text=True,
+            method=method, doc_filter=doc_filter,
+        )
+        if not terms:
+            return hits.select(
+                "doc_id", "score", F.lit(None).cast("int").alias("pos"),
+                F.lit(None).cast("string").alias("snippet"),
+            )
+        hay = F.lower(F.col("text"))
+        sentinel = 1 << 30
+        cands = [
+            F.coalesce(F.nullif(F.instr(hay, t), F.lit(0)), F.lit(sentinel))
+            for t, _ in terms
+        ]
+        pos = cands[0] if len(cands) == 1 else F.least(*cands)
+        keep = [c for c in hits.columns if c != "text"]
+        return (
+            hits.withColumn("pos", pos.cast("int"))
+            .withColumn(
+                "snippet",
+                F.expr(f"substring(text, greatest(pos - {before}, 1), {width})"),
+            )
+            .select(*keep, "pos", "snippet")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
     def get(self, doc_id: str, load_text: bool = True) -> dict | None:

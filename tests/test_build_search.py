@@ -409,3 +409,23 @@ def _capture_texts(corpus, spark):
     _FIXTURE_TEXTS.update(
         {r["doc_id"]: r["text"] for r in s.docs.select("doc_id", "text").collect()}
     )
+
+
+def test_search_snippets_index(corpus, spark):
+    """Index-backed KWIC: pos = earliest query-term char position (1-based)
+    in lower(text); snippet = the window; ranking identical to search."""
+    idx_dir, _, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    q = generate_query_set()[3]["text"]
+    qterms = [t for t, _ in __import__("splade_easy_spark.query.searcher", fromlist=["analyze_query"]).analyze_query(q)]
+    base = [(r["doc_id"], r["score"]) for r in s.search(q, top_k=5).collect()]
+    rows = s.search_snippets(q, top_k=5, before=4, width=20).collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == base
+    for r in rows:
+        text = _FIXTURE_TEXTS[r["doc_id"]]
+        hay = text.lower()
+        positions = [hay.find(t) + 1 for t in qterms if hay.find(t) >= 0]
+        assert positions, "a hit must contain a query term"
+        assert r["pos"] == min(positions)
+        start = max(r["pos"] - 4, 1)
+        assert r["snippet"] == text[start - 1 : start - 1 + 20]
