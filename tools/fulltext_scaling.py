@@ -69,11 +69,28 @@ def worker(cores: int) -> None:
 
     spark = _spark(cores)
     s = Searcher(spark, IDX, _cfg())
-    qs = [q["text"] for q in generate_query_set(20)]
+    qs = [q["text"] for q in generate_query_set(50)]
     # warm the session (JVM/codegen init out of the timings)
     s.search(qs[0], top_k=10).collect()
 
     times = {}
+
+    # serial-term probe: a 1-row job carries only driver coordination —
+    # its per-job cost is the floor every single-query row below pays
+    # regardless of cores (reported so the latency rows can be read)
+    t0 = time.time()
+    for _ in range(10):
+        s.docs.limit(1).count()
+    times["job_floor_x10"] = round(time.time() - t0, 3)
+
+    # the throughput-shaped row: ONE job scores a 50-query batch under a
+    # filter — this is the path that matters at cluster scale (per-query
+    # driver latency amortizes to zero), same reason bench.py's scaling
+    # criterion rides search_many
+    batch = [{"query_id": f"q{i}", "text": t} for i, t in enumerate(qs[:50])]
+    t0 = time.time()
+    s.search_many(batch, top_k=10, doc_filter=F.col("role") == "user").count()
+    times["filtered_search_many50"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     for q in qs[:10]:
