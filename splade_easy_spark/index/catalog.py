@@ -44,6 +44,9 @@ def term_bucket_expr(term_col, buckets: int):
 #: postings-schema term_id reserved for packed tombstone rows (real ids are
 #: non-negative 60-bit hashes, so a negative value cannot collide)
 TOMB_TERM_ID = -1
+#: packed INCLUSION-mask rows (filtered retrieval): doc_ints a query's
+#: doc_filter allows, riding the same seg exchange as tombstones
+ALLOW_TERM_ID = -2
 
 
 def term_id_py(term: str, seed: int = 0) -> int:

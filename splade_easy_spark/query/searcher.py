@@ -308,15 +308,16 @@ class Searcher:
         doc columns (conv_id, turn_idx, role, tool, ts, doc_len) that
         restricts the CANDIDATE set while idf stays full-corpus (Lucene
         filter semantics: the filter narrows what may be returned, never
-        what the corpus is).  Served on the SQL path as a doc-grain
-        semi-join between the scored candidates and the pushed-down
-        filtered docs scan.  WAND falls back to SQL under a filter: the
-        kernel's block-max threshold assumes every scored doc is
-        eligible, so post-kernel filtering would under-fill k — exact
-        filter support belongs inside the kernel, not bolted after it.
+        what the corpus is).  On the SQL path it is a doc-grain semi-join
+        between the scored candidates and the pushed-down filtered docs
+        scan — right-sized for BROAD filters.  On the WAND path the
+        allowed doc_ints are packed and shipped to the kernels like
+        tombstones and masked BEFORE the pruning threshold (block-max
+        bounds stay conservative over the allowed subset, so exactness is
+        unchanged; see wand._alive_mask) — pack cost ∝ |allowed|, so this
+        is the path for SELECTIVE filters, where the mask is tiny and the
+        kernel's pruning does proportionally less work.
         """
-        if doc_filter is not None:
-            method = "sql"
         terms = analyze_query(query, self.config) if isinstance(query, str) else query
         if not terms:
             return self._attach_docs(
@@ -358,9 +359,15 @@ class Searcher:
             # tombstones stay distributed: packed rows ride the postings'
             # seg exchange into the kernel (never a driver collect), which
             # masks them BEFORE the pruning threshold is computed
+            allowed = (
+                None
+                if doc_filter is None
+                else self.docs.where(doc_filter).select("doc_int")
+            )
             scores = wand_search_scores(
                 self.spark, postings, scan_terms, seg_docs, top_k, deleted, use_cosine,
                 term_id_seed=self.term_id_seed, snapshot_max=self._snapshot_max,
+                allowed=allowed,
             )
             if use_cosine:
                 # kernel scores are Σ qw·(w/‖d‖); divide the monotone
@@ -423,10 +430,13 @@ class Searcher:
         methods only; ``method='sql'`` stays the untouched oracle path.
 
         ``doc_filter`` as in :func:`search` — candidate restriction with
-        full-corpus statistics, one semi-join for the whole batch (SQL
-        path; wand falls back for the same kernel-threshold reason).
+        full-corpus statistics.  SQL path: one semi-join for the whole
+        batch.  WAND path: ONE packed inclusion mask shipped to the batch
+        kernel and applied before every query's pruning threshold.  The
+        exchange-free ``wand_nox`` variant falls back to SQL (its
+        post-kernel groupBy-sum has no mask seam).
         """
-        if doc_filter is not None:
+        if doc_filter is not None and method == "wand_nox":
             method = "sql"
         rows = []
         for q in queries:
@@ -504,6 +514,13 @@ class Searcher:
                 if method == "wand_nox"
                 else wand_search_many_scores
             )
+            batch_kwargs = dict(
+                term_id_seed=self.term_id_seed, snapshot_max=self._snapshot_max
+            )
+            if doc_filter is not None:
+                batch_kwargs["allowed"] = self.docs.where(doc_filter).select(
+                    "doc_int"
+                )
             cand = batch_fn(
                 self.spark,
                 postings,
@@ -512,8 +529,7 @@ class Searcher:
                 top_k,
                 deleted0,
                 use_cosine,
-                term_id_seed=self.term_id_seed,
-                snapshot_max=self._snapshot_max,
+                **batch_kwargs,
             )
             if use_cosine:
                 qnorms = [

@@ -62,7 +62,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from splade_easy_spark.index.catalog import TOMB_TERM_ID, term_id_expr, term_id_py
+from splade_easy_spark.index.catalog import (
+    ALLOW_TERM_ID,
+    TOMB_TERM_ID,
+    term_id_expr,
+    term_id_py,
+)
 from splade_easy_spark.index.postings import unpack_block, varbyte_encode
 
 #: schema of the pruned frame entering the kernels (and of the packed
@@ -95,12 +100,18 @@ def _query_term_ids(terms: list[str], seed: int) -> dict[str, int]:
     return ids
 
 
-def _tombstone_blocks(deleted: DataFrame, segment_docs: int) -> DataFrame:
-    """Pack the deleted table's doc_ints into postings-schema rows so they
-    ride the postings' seg-colocation exchange to their segment's kernel —
-    fully distributed (the round-1 driver ``collect()`` of tombstones would
+def _tombstone_blocks(
+    deleted: DataFrame, segment_docs: int, sentinel: int = TOMB_TERM_ID
+) -> DataFrame:
+    """Pack a doc_int set into postings-schema rows so it rides the
+    postings' seg-colocation exchange to its segment's kernel — fully
+    distributed (the round-1 driver ``collect()`` of tombstones would
     funnel a heavily-deleted index's millions of ids through the driver per
-    query).  Multiple rows per seg are fine; the kernel concatenates."""
+    query).  Multiple rows per seg are fine; the kernel concatenates.
+
+    ``sentinel`` selects the row kind: TOMB_TERM_ID for an EXCLUSION set
+    (deletes, masked out), ALLOW_TERM_ID for the filtered-retrieval
+    INCLUSION set (only these doc_ints may score)."""
     dels = deleted.select(
         (F.col("doc_int") / F.lit(segment_docs)).cast("long").alias("seg"),
         "doc_int",
@@ -123,7 +134,7 @@ def _tombstone_blocks(deleted: DataFrame, segment_docs: int) -> DataFrame:
                 deltas[0] = ids[0]
                 deltas[1:] = np.diff(ids).astype(np.uint64)
                 out["seg"].append(int(seg))
-                out["term_id"].append(TOMB_TERM_ID)
+                out["term_id"].append(sentinel)
                 out["block_id"].append(0)
                 out["n"].append(int(len(ids)))
                 out["doc_min"].append(int(ids[0]))
@@ -140,14 +151,25 @@ def _tombstone_blocks(deleted: DataFrame, segment_docs: int) -> DataFrame:
 
 def _split_tombstones(
     pdf: pd.DataFrame,
-) -> tuple[pd.DataFrame, pd.DataFrame | None]:
-    mask = pdf["term_id"] < 0  # real ids are non-negative 60-bit hashes
+) -> tuple[pd.DataFrame, pd.DataFrame | None, pd.DataFrame | None]:
+    """(real, tombstones, allow) — sentinel rows carved off the postings
+    frame (real ids are non-negative 60-bit hashes)."""
+    mask = pdf["term_id"] < 0
     if not mask.any():
-        return pdf, None
-    return pdf[~mask], pdf[mask]
+        return pdf, None, None
+    neg = pdf[mask]
+    tomb = neg[neg["term_id"] == TOMB_TERM_ID]
+    allow = neg[neg["term_id"] == ALLOW_TERM_ID]
+    return (
+        pdf[~mask],
+        tomb if len(tomb) else None,
+        allow if len(allow) else None,
+    )
 
 
 def _dead_local(tomb: pd.DataFrame | None, seg: int, seg_base: int) -> np.ndarray | None:
+    """Segment-local indices of one packed-id frame (tombstones OR allow
+    rows — the wire format is identical)."""
     if tomb is None:
         return None
     tg = tomb[tomb["seg"] == seg]
@@ -157,6 +179,36 @@ def _dead_local(tomb: pd.DataFrame | None, seg: int, seg_base: int) -> np.ndarra
         unpack_block(b, b"", int(n))[0] for b, n in zip(tg["docs"], tg["n"])
     ]
     return np.unique(np.concatenate(parts)) - seg_base
+
+
+def _alive_mask(
+    seg_docs: int,
+    dead: np.ndarray | None,
+    wm_local: int | None,
+    allow: np.ndarray | None = None,
+    allow_active: bool = False,
+) -> np.ndarray | None:
+    """The eligibility mask every kernel applies BEFORE θ/candidates/output.
+
+    ``allow_active`` distinguishes "no filter" (None mask possible) from
+    "filter excludes this whole segment" (an active filter whose allow rows
+    never reached this seg means NO doc here is eligible — without the flag
+    the kernel would treat the segment as unfiltered and leak disallowed
+    docs).  Deletes and the snapshot watermark then clear bits on top."""
+    alive: np.ndarray | None = None
+    if allow_active:
+        alive = np.zeros(seg_docs, dtype=bool)
+        if allow is not None and len(allow):
+            alive[allow[(allow >= 0) & (allow < seg_docs)]] = True
+    if dead is not None and len(dead):
+        if alive is None:
+            alive = np.ones(seg_docs, dtype=bool)
+        alive[dead[(dead >= 0) & (dead < seg_docs)]] = False
+    if wm_local is not None and wm_local < seg_docs:
+        if alive is None:
+            alive = np.ones(seg_docs, dtype=bool)
+        alive[max(wm_local, 0):] = False
+    return alive
 
 
 def _score_segment(
@@ -169,6 +221,8 @@ def _score_segment(
     wcol: str = "wts",
     mcol: str = "max_weight",
     wm_local: int | None = None,
+    allow_local: np.ndarray | None = None,
+    allow_active: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, int, int]:
     """Exact top-k for one segment.
 
@@ -195,14 +249,11 @@ def _score_segment(
     """
     acc = np.zeros(seg_docs, dtype=np.float64)
     touched = np.zeros(seg_docs, dtype=bool)
-    alive: np.ndarray | None = None
-    if dead_local is not None and len(dead_local):
-        alive = np.ones(seg_docs, dtype=bool)
-        alive[dead_local[(dead_local >= 0) & (dead_local < seg_docs)]] = False
-    if wm_local is not None and wm_local < seg_docs:
-        if alive is None:
-            alive = np.ones(seg_docs, dtype=bool)
-        alive[max(wm_local, 0):] = False
+    # filtered retrieval rides the same mask as deletes/snapshot: ineligible
+    # docs never touch θ, candidates, or the output, and the block-max
+    # bounds stay conservative (a block's max over ALL docs ≥ its max over
+    # allowed docs), so the exactness invariant below is unchanged
+    alive = _alive_mask(seg_docs, dead_local, wm_local, allow_local, allow_active)
 
     # per term: blocks sorted by doc_min (non-overlapping ascending ranges —
     # pack_postings emits consecutive sorted runs; appended runs start past
@@ -322,6 +373,7 @@ def _pruned_with_tombstones(
     mcol: str = "max_weight",
     qterms_legacy: list[str] | None = None,
     term_id_seed: int = 0,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Term filter FIRST (parquet predicate pushdown — only the query's
     posting lists are read), prune to the columns THIS score mode's kernel
@@ -359,6 +411,13 @@ def _pruned_with_tombstones(
         pruned = pruned.unionByName(
             _tombstone_blocks(deleted, segment_docs).select(*cols)
         )
+    if allowed is not None:
+        # the filtered-retrieval inclusion set rides the identical packed
+        # wire format under its own sentinel; pack cost ∝ |allowed| — the
+        # selective-filter case this path exists for keeps it tiny
+        pruned = pruned.unionByName(
+            _tombstone_blocks(allowed, segment_docs, ALLOW_TERM_ID).select(*cols)
+        )
     return pruned.repartition(F.col("seg"))
 
 
@@ -372,9 +431,17 @@ def wand_search_scores(
     use_cosine: bool = False,
     term_id_seed: int = 0,
     snapshot_max: int | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_int, score) candidates: per-segment exact top-k via the pruned
     kernel, global merge left to the caller's orderBy/limit.
+
+    ``allowed``: filtered retrieval — a (doc_int) frame of the docs a
+    filter permits.  Packed and shipped like tombstones, masked in the
+    kernel BEFORE θ (block-max bounds stay conservative upper bounds over
+    the allowed subset, so exactness is unchanged); segments none of whose
+    docs are allowed are skipped outright.  Pack cost ∝ |allowed| — use
+    this path for selective filters, the SQL path for broad ones.
 
     ``snapshot_max``: the reader's as-of-open watermark — docs with
     ``doc_int >= snapshot_max`` are masked exactly in the kernel (blocks
@@ -393,10 +460,11 @@ def wand_search_scores(
     ids = _query_term_ids(qterms, term_id_seed)
     b_qw = spark.sparkContext.broadcast({ids[t]: w for t, w in terms})
     wcol, mcol = ("nwts", "max_nweight") if use_cosine else ("wts", "max_weight")
+    filter_active = allowed is not None
     pruned = _pruned_with_tombstones(
         postings, [ids[t] for t in qterms], deleted, segment_docs, wcol, mcol,
         qterms_legacy=None if "term_id" in postings.columns else qterms,
-        term_id_seed=term_id_seed,
+        term_id_seed=term_id_seed, allowed=allowed,
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -404,14 +472,17 @@ def wand_search_scores(
         if not frames:
             return
         pdf = pd.concat(frames, ignore_index=True)
-        real, tomb = _split_tombstones(pdf)
+        real, tomb, allow = _split_tombstones(pdf)
         for seg, g in real.groupby("seg", sort=False):
             base = int(seg) * segment_docs
+            alw = _dead_local(allow, seg, base)
+            if filter_active and alw is None:
+                continue  # active filter, no allowed doc in this segment
             dead = _dead_local(tomb, seg, base)
             wm = None if snapshot_max is None else int(snapshot_max) - base
             d, s, _, _ = _score_segment(
                 g, b_qw.value, base, segment_docs, top_k, dead, wcol, mcol,
-                wm_local=wm,
+                wm_local=wm, allow_local=alw, allow_active=filter_active,
             )
             if len(d):
                 yield pd.DataFrame({"doc_int": d, "score": s})
@@ -448,7 +519,7 @@ def wand_profile(
         if not frames:
             return
         pdf = pd.concat(frames, ignore_index=True)
-        real, tomb = _split_tombstones(pdf)
+        real, tomb, _allow = _split_tombstones(pdf)
         segs, bt, bd = [], [], []
         for seg, g in real.groupby("seg", sort=False):
             base = int(seg) * segment_docs
@@ -481,6 +552,8 @@ def _batch_segment(
     wcol: str,
     mcol: str,
     wm_local: int | None = None,
+    allow: np.ndarray | None = None,
+    allow_active: bool = False,
 ) -> tuple[list, list, list, int, int]:
     """Exact batch top-k for one segment; shared by the live batch kernel
     and the profile kernel.  ``wm_local`` masks post-snapshot docs exactly
@@ -516,14 +589,7 @@ def _batch_segment(
     raw partition order is NOT ascending (the round-2 batch kernel assumed
     it was, corrupting the searchsorted repair on appended indexes).
     """
-    alive = None
-    if dead is not None and len(dead):
-        alive = np.ones(segment_docs, dtype=bool)
-        alive[dead[(dead >= 0) & (dead < segment_docs)]] = False
-    if wm_local is not None and wm_local < segment_docs:
-        if alive is None:
-            alive = np.ones(segment_docs, dtype=bool)
-        alive[max(wm_local, 0):] = False
+    alive = _alive_mask(segment_docs, dead, wm_local, allow, allow_active)
 
     # per-term: block ranges (doc_min ascending, non-overlapping — see
     # _score_segment), packed buffers, decode slot, score upper bound
@@ -641,6 +707,7 @@ def _batch_prepared(
     deleted: DataFrame | None,
     use_cosine: bool,
     term_id_seed: int = 0,
+    allowed: DataFrame | None = None,
 ):
     qids = sorted(queries_terms)
     all_terms = sorted({t for ts in queries_terms.values() for t, _ in ts})
@@ -655,7 +722,7 @@ def _batch_prepared(
     pruned = _pruned_with_tombstones(
         postings, [ids[t] for t in all_terms], deleted, segment_docs, wcol, mcol,
         qterms_legacy=None if "term_id" in postings.columns else all_terms,
-        term_id_seed=term_id_seed,
+        term_id_seed=term_id_seed, allowed=allowed,
     )
     return b_queries, wcol, mcol, pruned
 
@@ -670,9 +737,14 @@ def wand_search_many_scores(
     use_cosine: bool = False,
     term_id_seed: int = 0,
     snapshot_max: int | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Batch retrieval: (query_id, doc_int, score) per-segment top-k
     candidates for EVERY query in one pass.
+
+    ``allowed`` is the filtered-retrieval inclusion set, shared by every
+    query in the batch (see ``wand_search_scores`` — same wire format,
+    same exactness argument, ONE pack for the whole batch).
 
     The SQL batch path multiplies each posting row by every query sharing
     its term (a Zipfian head term × 100 queries → 10^8 joined rows).  Here
@@ -683,9 +755,10 @@ def wand_search_many_scores(
     with no join blowup materialized, and only per-segment top-k rows
     leave the kernel.
     """
+    filter_active = allowed is not None
     b_queries, wcol, mcol, pruned = _batch_prepared(
         spark, postings, queries_terms, segment_docs, deleted, use_cosine,
-        term_id_seed,
+        term_id_seed, allowed=allowed,
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -693,14 +766,17 @@ def wand_search_many_scores(
         if not frames:
             return
         pdf = pd.concat(frames, ignore_index=True)
-        real, tomb = _split_tombstones(pdf)
+        real, tomb, allow = _split_tombstones(pdf)
         for seg, g in real.groupby("seg", sort=False):
             base = int(seg) * segment_docs
+            alw = _dead_local(allow, seg, base)
+            if filter_active and alw is None:
+                continue  # active filter, no allowed doc in this segment
             dead = _dead_local(tomb, seg, base)
             wm = None if snapshot_max is None else int(snapshot_max) - base
             out_q, out_d, out_s, _, _ = _batch_segment(
                 g, b_queries.value, base, segment_docs, top_k, dead, wcol, mcol,
-                wm_local=wm,
+                wm_local=wm, allow=alw, allow_active=filter_active,
             )
             if out_q:
                 yield pd.DataFrame({"query_id": out_q, "doc_int": out_d, "score": out_s})
@@ -888,7 +964,7 @@ def wand_batch_profile(
         if not frames:
             return
         pdf = pd.concat(frames, ignore_index=True)
-        real, tomb = _split_tombstones(pdf)
+        real, tomb, _allow = _split_tombstones(pdf)
         segs, bt, bd = [], [], []
         for seg, g in real.groupby("seg", sort=False):
             base = int(seg) * segment_docs

@@ -285,16 +285,41 @@ def test_filtered_search_matches_postfilter(corpus, spark):
             assert abs(gs - es) < 1e-9
 
 
-def test_filtered_search_wand_falls_back(corpus, spark):
+def test_filtered_search_wand_in_kernel(corpus, spark):
+    """WAND with a filter runs the kernel with a packed inclusion mask —
+    results identical to the SQL path's semi-join (float32 packed weights
+    vs double doc_terms: compare at 1e-5 like the other wand tests)."""
     idx_dir, _, _ = corpus
     s = Searcher(spark, idx_dir, CFG)
-    pred = F.col("turn_idx") % 2 == 0
-    q = generate_query_set()[7]["text"]
-    via_wand = s.search(q, top_k=5, method="wand", doc_filter=pred).collect()
-    via_sql = s.search(q, top_k=5, method="sql", doc_filter=pred).collect()
-    assert [(r["doc_id"], round(r["score"], 9)) for r in via_wand] == [
-        (r["doc_id"], round(r["score"], 9)) for r in via_sql
+    for pred in [F.col("turn_idx") % 2 == 0, F.col("role") == "user"]:
+        for q in [x["text"] for x in generate_query_set()[5:9]]:
+            via_wand = s.search(q, top_k=5, method="wand", doc_filter=pred).collect()
+            via_sql = s.search(q, top_k=5, method="sql", doc_filter=pred).collect()
+            assert [r["doc_id"] for r in via_wand] == [r["doc_id"] for r in via_sql]
+            for a, b in zip(via_wand, via_sql):
+                assert abs(a["score"] - b["score"]) < 1e-5
+    # a filter matching nothing returns nothing (whole segments skipped)
+    assert (
+        s.search("baba0", top_k=5, method="wand", doc_filter=F.col("turn_idx") < 0).count()
+        == 0
+    )
+
+
+def test_filtered_search_many_wand_in_kernel(corpus, spark):
+    idx_dir, _, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    pred = F.col("role") != "tool"
+    queries = [
+        {"query_id": f"q{i}", "text": q["text"]}
+        for i, q in enumerate(generate_query_set()[14:18])
     ]
+    w = s.search_many(queries, top_k=5, method="wand", doc_filter=pred).collect()
+    g = s.search_many(queries, top_k=5, method="sql", doc_filter=pred).collect()
+    kw = [(r["query_id"], r["rank"], r["doc_id"]) for r in w]
+    kg = [(r["query_id"], r["rank"], r["doc_id"]) for r in g]
+    assert kw == kg and kw
+    for a, b in zip(w, g):
+        assert abs(a["score"] - b["score"]) < 1e-5
 
 
 def test_filtered_search_many(corpus, spark):

@@ -797,3 +797,44 @@ def test_prune_below_approximate_tail_cut(corpus, spark):
         if sum(1 for t, w in ts if w * bounds[t] < thr):
             cut_any = True
     assert cut_any, "fixture queries must exercise the cut"
+
+
+def test_kernel_allow_mask_composes_with_deletes_and_watermark():
+    """Filtered retrieval at kernel grain: the inclusion mask bounds the
+    eligible set, deletes and the snapshot watermark clear bits on top,
+    and the result equals brute force over (allow − dead − post-wm)."""
+    rng = np.random.default_rng(7)
+    seg_docs, n_terms = 256, 8
+    posts = {}
+    truth = np.zeros(seg_docs)
+    qw_map = {}
+    for t in range(n_terms):
+        term = f"t{t}"
+        qw_map[term] = float(rng.uniform(0.5, 2.0))
+        n_post = int(rng.integers(20, seg_docs))
+        docs = np.sort(rng.choice(seg_docs, size=n_post, replace=False))
+        wts = rng.uniform(0.01, 3.0, size=n_post)
+        truth[docs] += qw_map[term] * wts.astype(np.float32).astype(np.float64)
+        posts[term] = list(zip(docs.tolist(), wts.tolist()))
+    g = _mk_rows(posts, block_size=16)
+    allow = np.sort(rng.choice(seg_docs, size=90, replace=False))
+    dead = np.sort(rng.choice(allow, size=15, replace=False))  # overlap allow
+    wm = 200
+    eligible = np.zeros(seg_docs, dtype=bool)
+    eligible[allow] = True
+    eligible[dead] = False
+    eligible[wm:] = False
+    masked = np.where(eligible, truth, -np.inf)
+    order = np.lexsort((np.arange(seg_docs), -masked))[:10]
+    order = [int(i) for i in order if masked[i] > 0]
+    d, s, _, _ = _score_segment(
+        g, qw_map, 0, seg_docs, 10, dead, wm_local=wm,
+        allow_local=allow, allow_active=True,
+    )
+    assert list(d)[: len(order)] == order
+    assert np.allclose(s[: len(order)], truth[order], rtol=1e-7)
+    # active filter + empty allow set = nothing eligible
+    d2, s2, _, _ = _score_segment(
+        g, qw_map, 0, seg_docs, 10, None, allow_local=None, allow_active=True
+    )
+    assert len(d2) == 0
