@@ -292,6 +292,22 @@ def main() -> None:
     )
     sections.append(
         (
+            "filtered search — WAND path (in-kernel inclusion mask)",
+            "the pruned postings scan UNIONS a mapInPandas pack of the "
+            "filtered docs scan's doc_ints (ALLOW sentinel rows) below the "
+            "single seg Exchange — the mask rides the same shuffle as the "
+            "postings, no driver collect, and the filter predicate is "
+            "pushed to the docs scan feeding the pack.",
+            formatted(
+                s.search(
+                    "baba0 ceba1 diba2", top_k=10, method="wand",
+                    doc_filter=FF.col("role") == "user",
+                )
+            ),
+        )
+    )
+    sections.append(
+        (
             "facet_counts — matching-doc counts per stored column",
             "same pruned doc_terms scan as a search, score>0 match set, "
             "doc_int join to a (doc_int, facet)-pruned docs scan "
