@@ -156,6 +156,14 @@ def main() -> None:
         searcher.search(q1, top_k=10, doc_filter=F.col("role") == "user").collect()
         timings["search_filtered"] = round(time.time() - t0, 3)
 
+        # filtered batch rides the in-kernel WAND mask (one pack per batch;
+        # measured 3.7-7.6x over the filtered SQL batch, BENCH.md)
+        t0 = time.time()
+        searcher.search_many(
+            qset, top_k=10, method="wand", doc_filter=F.col("role") == "user"
+        ).count()
+        timings["search_filtered_batch50"] = round(time.time() - t0, 3)
+
         t0 = time.time()
         searcher.phrase_search(" ".join(q1.split()[:2]), top_k=10).collect()
         timings["phrase_search"] = round(time.time() - t0, 3)

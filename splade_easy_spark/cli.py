@@ -294,6 +294,44 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_batch_search(args) -> int:
+    """Batch retrieval in ONE Spark job (search_many): queries from a file
+    or stdin, one per line — plain text, or JSONL {"query_id","text"}.
+    Output TSV: query_id, rank, score, doc_id."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from splade_easy_spark.query import Searcher
+
+    s = Searcher(_spark(args), args.index)
+    raw = sys.stdin.read() if args.queries == "-" else open(args.queries).read()
+    queries = []
+    for i, ln in enumerate(l.strip() for l in raw.splitlines() if l.strip()):
+        if ln.startswith("{"):
+            d = _json.loads(ln)
+            queries.append({"query_id": str(d.get("query_id", i)), "text": d["text"]})
+        else:
+            queries.append({"query_id": f"q{i}", "text": ln})
+    if not queries:
+        print("-- no queries", file=sys.stderr)
+        return 0
+    doc_filter = F.expr(args.filter) if args.filter else None
+    t0 = time.time()
+    rows = s.search_many(
+        queries, top_k=args.top_k, use_cosine=args.cosine,
+        method=args.method, doc_filter=doc_filter,
+    ).collect()
+    elapsed = time.time() - t0
+    for r in rows:
+        print(f"{r['query_id']}\t{r['rank']}\t{r['score']:.4f}\t{r['doc_id']}")
+    print(
+        f"-- {len(queries)} queries, {len(rows)} hits in {elapsed:.2f}s",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_facets(args) -> int:
     from splade_easy_spark.query import Searcher
 
@@ -431,6 +469,22 @@ def main(argv: list[str] | None = None) -> int:
         help="show a KWIC window around the earliest query-term hit",
     )
     s.set_defaults(fn=cmd_search)
+
+    bs = sub.add_parser("batch-search")
+    bs.add_argument("--index", required=True)
+    bs.add_argument(
+        "--queries", required=True,
+        help="file of queries (one per line, or JSONL with query_id/text); '-' = stdin",
+    )
+    bs.add_argument("--top-k", type=int, default=10)
+    bs.add_argument("--cosine", action="store_true")
+    bs.add_argument("--method", default="wand", choices=["sql", "wand", "wand_nox"])
+    bs.add_argument(
+        "--filter",
+        help="SQL predicate over stored doc columns (candidate restriction, "
+        "full-corpus idf) — batches ride the in-kernel mask (BENCH.md)",
+    )
+    bs.set_defaults(fn=cmd_batch_search)
 
     c = sub.add_parser("console")
     c.add_argument("--index", required=True)

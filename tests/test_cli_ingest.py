@@ -200,3 +200,46 @@ def test_cli_dedup_spans_and_semdedup(spark, tmp_path, capsys):
     ]) == 0
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["rows"] == 24 and rep["kept"] + rep["dropped"] == 24 and rep["dropped"] > 0
+
+
+def test_cli_batch_search_and_fulltext_verbs(spark, tmp_path, capsys):
+    src = str(tmp_path / "tx")
+    idx = str(tmp_path / "idx")
+    generate_transcripts(spark, num_convs=5, seed=23).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--index", idx]) == 0
+    capsys.readouterr()
+
+    qf = tmp_path / "queries.txt"
+    qf.write_text('baba0 ceba1\n{"query_id": "jq", "text": "diba2"}\n')
+    assert cli.main([
+        "batch-search", "--index", idx, "--queries", str(qf),
+        "--top-k", "3", "--method", "wand",
+    ]) == 0
+    rows = [l.split("\t") for l in capsys.readouterr().out.strip().splitlines()]
+    qids = {r[0] for r in rows}
+    assert qids == {"q0", "jq"}
+    assert all(len(r) == 4 and int(r[1]) <= 3 for r in rows)
+
+    # filtered batch equals filtered singles (rank order per query)
+    assert cli.main([
+        "batch-search", "--index", idx, "--queries", str(qf),
+        "--top-k", "3", "--filter", "role = 'user'",
+    ]) == 0
+    brows = [l.split("\t") for l in capsys.readouterr().out.strip().splitlines()]
+    assert cli.main([
+        "search", "--index", idx, "--query", "baba0 ceba1",
+        "--top-k", "3", "--filter", "role = 'user'",
+    ]) == 0
+    srows = [l.split() for l in capsys.readouterr().out.strip().splitlines()]
+    assert [r[3] for r in brows if r[0] == "q0"] == [r[1] for r in srows]
+
+    assert cli.main(["facets", "--index", idx, "--query", "baba0", "--by", "role"]) == 0
+    frows = capsys.readouterr().out.strip().splitlines()
+    assert frows and all(len(l.split()) == 2 for l in frows)
+
+    seed_doc = brows[0][3] if brows else srows[0][1]
+    assert cli.main(["mlt", "--index", idx, "--doc-id", seed_doc, "--top-k", "3"]) == 0
+    assert capsys.readouterr().out.strip()
+
+    assert cli.main(["phrase", "--index", idx, "--query", "baba0", "--top-k", "3"]) == 0
+    capsys.readouterr()
