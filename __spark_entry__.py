@@ -30,7 +30,9 @@ from splade_easy_spark.adhoc import (
     facet_counts,
     more_like_this,
     phrase_search,
+    prefix_search,
     search_snippets,
+    suggest_terms,
 )
 from splade_easy_spark.functions.text import tokenize
 from splade_easy_spark.ops import (
@@ -534,6 +536,18 @@ def q_snippets(spark, sf_dir):
     )
 
 
+def q_prefix_search(spark, sf_dir):
+    """Lucene PrefixQuery: expand 's' over the dictionary (df desc, term
+    asc, capped), score as an OR query with unit weights."""
+    out = prefix_search(spark, _docs(spark, sf_dir), "s", 10, max_expansions=64)
+    return out.select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+def q_suggest_terms(spark, sf_dir):
+    """Autocomplete: dictionary terms matching 's', ranked by df."""
+    return suggest_terms(spark, _docs(spark, sf_dir), "s", 10)
+
+
 def q_bm25_cosine_topk(spark, sf_dir):
     out = bm25_topk(spark, _docs(spark, sf_dir), FLAGSHIP_QUERY, 10, use_cosine=True)
     return out.select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
@@ -1022,6 +1036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "phrase_search": q_phrase_search,
         "snippets": q_snippets,
+        "prefix_search": q_prefix_search,
+        "suggest_terms": q_suggest_terms,
         "doc_vector": q_doc_vector,
         "point_get": q_point_get,
         "dedup_exact": q_dedup_exact,
@@ -1151,6 +1167,16 @@ FROM ranked WHERE rank <= 10""",
         ),
         "phrase_search": _sql_phrase_search(PHRASE_QUERY, 10),
         "snippets": _sql_snippets(FLAGSHIP_QUERY, 10),
+        "prefix_search": f"""{_BM25_CTES},
+exp AS (SELECT term FROM dfs WHERE term LIKE 's%' ORDER BY df DESC, term LIMIT 64)
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT w.doc_id, sum(w.weight) AS score
+  FROM w JOIN exp USING (term) GROUP BY w.doc_id
+) WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 10""",
+        "suggest_terms": f"""{_BM25_CTES}
+SELECT term, df FROM dfs WHERE term LIKE 's%'
+ORDER BY df DESC, term LIMIT 10""",
         "facet_counts": f"""{_BM25_CTES},
 matched AS (
   SELECT w.doc_id, sum(w.weight) AS score

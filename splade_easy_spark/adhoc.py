@@ -335,3 +335,61 @@ def search_snippets(
         )
         .orderBy(F.desc("score"), F.asc("id"))
     )
+
+
+def suggest_terms(
+    spark: SparkSession,
+    docs: DataFrame,
+    prefix: str,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """(term, df) — autocomplete: the corpus dictionary's terms matching a
+    prefix, ranked by document frequency desc / term asc.  ``startswith``
+    compiles to a range predicate, so against a sorted/pruned dictionary
+    the scan is bounded; the rank is TakeOrderedAndProject (distributed
+    partial top-n, no single-partition window)."""
+    tt = doc_term_tf(docs, id_col, text_col, analyzer)
+    return (
+        tt.where(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def prefix_search(
+    spark: SparkSession,
+    docs: DataFrame,
+    prefix: str,
+    top_k: int = 10,
+    max_expansions: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """(id, score) — Lucene PrefixQuery semantics: expand the prefix to at
+    most ``max_expansions`` dictionary terms (df desc, term asc — the
+    highest-signal expansions when the cap binds, deterministic cut), then
+    score as an OR query with unit weights over the expansion.  The
+    expansion is a bounded TakeOrderedAndProject over the prefix-pruned
+    dictionary; the scoring join is the same term-pruned plan as bm25."""
+    w = bm25_weights(docs, id_col, text_col, params)
+    tdf = w.groupBy("term").agg(F.count("*").alias("df"))
+    exp = (
+        tdf.where(F.col("term").startswith(prefix))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .select("term")
+    )
+    return (
+        w.join(F.broadcast(exp), "term")
+        .groupBy("id")
+        .agg(F.sum("weight").alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(top_k)
+    )

@@ -332,6 +332,15 @@ def cmd_batch_search(args) -> int:
     return 0
 
 
+def cmd_suggest(args) -> int:
+    from splade_easy_spark.query import Searcher
+
+    s = Searcher(_spark(args), args.index)
+    for r in s.suggest_terms(args.prefix, args.n).collect():
+        print(f"{r['df']:>8}  {r['term']}")
+    return 0
+
+
 def cmd_facets(args) -> int:
     from splade_easy_spark.query import Searcher
 
@@ -489,6 +498,12 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("console")
     c.add_argument("--index", required=True)
     c.set_defaults(fn=cmd_console)
+
+    sg = sub.add_parser("suggest")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--prefix", required=True)
+    sg.add_argument("-n", type=int, default=10)
+    sg.set_defaults(fn=cmd_suggest)
 
     fa = sub.add_parser("facets")
     fa.add_argument("--index", required=True)

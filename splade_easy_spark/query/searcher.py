@@ -705,6 +705,45 @@ class Searcher:
         topk = verified.orderBy(F.desc("score"), F.asc("doc_int")).limit(top_k)
         return self._attach_docs(topk, False)
 
+    def suggest_terms(self, prefix: str, n: int = 10) -> DataFrame:
+        """(term, df) — autocomplete off the index's term dictionary:
+        ``startswith`` compiles to a range predicate pushed to the sorted
+        term_stats scan, ranked df desc / term asc via
+        TakeOrderedAndProject (no dictionary collect)."""
+        return (
+            self.cat.read(self.spark, "term_stats")
+            .where(F.col("term").startswith(prefix))
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
+    def prefix_search(
+        self,
+        prefix: str,
+        top_k: int = 10,
+        max_expansions: int = 64,
+        use_cosine: bool = False,
+        method: str = "sql",
+        doc_filter: Column | None = None,
+    ) -> DataFrame:
+        """Lucene PrefixQuery over the index: expand the prefix to at most
+        ``max_expansions`` dictionary terms (df desc, term asc — the
+        highest-signal expansions when the cap binds), then run a regular
+        OR search with unit weights — which means the expansion composes
+        with BOTH query paths (WAND pruning included) and with
+        ``doc_filter``.  The expansion is one tiny bounded job against the
+        prefix-pruned term_stats scan."""
+        exp = [r["term"] for r in self.suggest_terms(prefix, max_expansions).collect()]
+        if not exp:
+            return self._attach_docs(
+                self.spark.createDataFrame([], "doc_int LONG, score DOUBLE"), False
+            )
+        return self.search(
+            [(t, 1.0) for t in exp], top_k=top_k, use_cosine=use_cosine,
+            method=method, doc_filter=doc_filter,
+        )
+
     def facet_counts(
         self,
         query: str | list[tuple[str, float]],

@@ -454,3 +454,37 @@ def test_search_snippets_index(corpus, spark):
         assert r["pos"] == min(positions)
         start = max(r["pos"] - 4, 1)
         assert r["snippet"] == text[start - 1 : start - 1 + 20]
+
+
+def test_suggest_terms_matches_oracle(corpus, spark):
+    idx_dir, oracle, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    for prefix in ["ba", "c", "zz"]:
+        got = [(r["term"], r["df"]) for r in s.suggest_terms(prefix, 8).collect()]
+        expected = sorted(
+            ((t, d) for t, d in oracle.df.items() if t.startswith(prefix)),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:8]
+        assert got == expected
+
+
+def test_prefix_search_matches_oracle(corpus, spark):
+    """PrefixQuery = OR over the df-ranked expansion with unit weights."""
+    idx_dir, oracle, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    prefix, cap = "ba", 5
+    exp = sorted(
+        ((t, d) for t, d in oracle.df.items() if t.startswith(prefix)),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:cap]
+    qv = {t: 1.0 for t, _ in exp}
+    scored = [(d, oracle.score(qv, d)) for d in oracle.tf]
+    scored = sorted(
+        ((d, sc) for d, sc in scored if sc > 0), key=lambda kv: (-kv[1], kv[0])
+    )
+    for method in ["sql", "wand"]:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in s.prefix_search(prefix, top_k=10, max_expansions=cap, method=method).collect()
+        ]
+        assert_topk_matches(got, scored[:30], 10, tol=1e-5)
