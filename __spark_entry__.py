@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from splade_easy_spark.adhoc import (
     bm25_topk,
+    boolean_search,
     bm25_topk_multi,
     bm25_weights,
     doc_term_tf,
@@ -548,6 +549,16 @@ def q_suggest_terms(spark, sf_dir):
     return suggest_terms(spark, _docs(spark, sf_dir), "s", 10)
 
 
+def q_boolean_search(spark, sf_dir):
+    """Lucene BooleanQuery: +hash +join, should spark/fast, -scan."""
+    out = boolean_search(
+        spark, _docs(spark, sf_dir),
+        must=["hash", "join"], should=["spark", "fast"], must_not=["scan"],
+        top_k=10,
+    )
+    return out.select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
 def q_bm25_cosine_topk(spark, sf_dir):
     out = bm25_topk(spark, _docs(spark, sf_dir), FLAGSHIP_QUERY, 10, use_cosine=True)
     return out.select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
@@ -1038,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": q_snippets,
         "prefix_search": q_prefix_search,
         "suggest_terms": q_suggest_terms,
+        "boolean_search": q_boolean_search,
         "doc_vector": q_doc_vector,
         "point_get": q_point_get,
         "dedup_exact": q_dedup_exact,
@@ -1177,6 +1189,17 @@ ORDER BY score DESC, doc_id LIMIT 10""",
         "suggest_terms": f"""{_BM25_CTES}
 SELECT term, df FROM dfs WHERE term LIKE 's%'
 ORDER BY df DESC, term LIMIT 10""",
+        "boolean_search": f"""{_BM25_CTES},
+sc AS (
+  SELECT w.doc_id, sum(w.weight) AS score,
+         count(DISTINCT CASE WHEN w.term IN ('hash','join') THEN w.term END) AS nm
+  FROM w WHERE w.term IN ('fast','hash','join','spark')
+  GROUP BY w.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM sc
+WHERE nm = 2 AND score > 0
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM w WHERE term = 'scan')
+ORDER BY score DESC, doc_id LIMIT 10""",
         "facet_counts": f"""{_BM25_CTES},
 matched AS (
   SELECT w.doc_id, sum(w.weight) AS score

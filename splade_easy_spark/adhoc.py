@@ -393,3 +393,55 @@ def prefix_search(
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(top_k)
     )
+
+
+def boolean_search(
+    spark: SparkSession,
+    docs: DataFrame,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """(id, score) — Lucene BooleanQuery semantics over BM25 weights:
+    a hit must contain EVERY ``must`` term, may gain score from ``should``
+    terms, and is excluded if it contains ANY ``must_not`` term.  Score =
+    Σ weight over the doc's (must ∪ should) terms, desc score / asc id.
+
+    One corpus pass: the conjunction is a count-distinct-over-must check
+    inside the same hash agg that sums the score (no second join), and the
+    exclusion is an anti-join against the must_not term postings — all
+    three term sets ride ONE term-pruned scan of the weights."""
+    cfg = IndexConfig(bm25=params or BM25Params())
+    m = sorted({t for t, _ in analyze_query(" ".join(must or []), cfg)})
+    s_extra = sorted(
+        {t for t, _ in analyze_query(" ".join(should or []), cfg)} - set(m)
+    )
+    n = sorted({t for t, _ in analyze_query(" ".join(must_not or []), cfg)})
+    scored_terms = m + s_extra
+    if not scored_terms:
+        return spark.createDataFrame([], "id STRING, score DOUBLE")
+    w = bm25_weights(docs, id_col, text_col, params)
+    qdf = spark.createDataFrame([(t,) for t in scored_terms], "term STRING")
+    scored = (
+        w.join(F.broadcast(qdf), "term")
+        .groupBy("id")
+        .agg(
+            F.sum("weight").alias("score"),
+            F.count_distinct(
+                F.when(F.col("term").isin(m), F.col("term"))
+            ).alias("_nm"),
+        )
+        .where((F.col("_nm") == len(m)) & (F.col("score") > 0))
+        .select("id", "score")
+    )
+    if n:
+        ndf = spark.createDataFrame([(t,) for t in n], "term STRING")
+        excluded = (
+            w.join(F.broadcast(ndf), "term").select("id").distinct()
+        )
+        scored = scored.join(excluded, "id", "left_anti")
+    return scored.orderBy(F.desc("score"), F.asc("id")).limit(top_k)

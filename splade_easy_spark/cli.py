@@ -332,6 +332,22 @@ def cmd_batch_search(args) -> int:
     return 0
 
 
+def cmd_boolean(args) -> int:
+    from splade_easy_spark.query import Searcher
+
+    s = Searcher(_spark(args), args.index)
+    rows = s.boolean_search(
+        must=(args.must or "").split() or None,
+        should=(args.should or "").split() or None,
+        must_not=(args.must_not or "").split() or None,
+        top_k=args.top_k,
+    ).collect()
+    for r in rows:
+        print(f"{r['score']:.4f}  {r['doc_id']}  [{r['role']}]")
+    print(f"-- {len(rows)} hits", file=sys.stderr)
+    return 0
+
+
 def cmd_suggest(args) -> int:
     from splade_easy_spark.query import Searcher
 
@@ -498,6 +514,14 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("console")
     c.add_argument("--index", required=True)
     c.set_defaults(fn=cmd_console)
+
+    bl = sub.add_parser("boolean")
+    bl.add_argument("--index", required=True)
+    bl.add_argument("--must", help="terms a hit MUST all contain (space-separated)")
+    bl.add_argument("--should", help="terms that add score if present")
+    bl.add_argument("--must-not", dest="must_not", help="terms that exclude a hit")
+    bl.add_argument("--top-k", type=int, default=10)
+    bl.set_defaults(fn=cmd_boolean)
 
     sg = sub.add_parser("suggest")
     sg.add_argument("--index", required=True)

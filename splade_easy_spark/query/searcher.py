@@ -705,6 +705,71 @@ class Searcher:
         topk = verified.orderBy(F.desc("score"), F.asc("doc_int")).limit(top_k)
         return self._attach_docs(topk, False)
 
+    def boolean_search(
+        self,
+        must: list[str] | None = None,
+        should: list[str] | None = None,
+        must_not: list[str] | None = None,
+        top_k: int = 10,
+        doc_filter: Column | None = None,
+    ) -> DataFrame:
+        """Lucene BooleanQuery over the index: a hit contains EVERY
+        ``must`` term, gains score from ``should`` terms, and is excluded
+        by ANY ``must_not`` term.  Score = Σ weight over the doc's
+        (must ∪ should) terms.  One bucket-pruned doc_terms scan serves
+        all three clauses (the conjunction rides the scoring agg as a
+        count-distinct; the exclusion is an anti-join on the must_not
+        postings) — same semantics as ``adhoc.boolean_search``."""
+        import zlib
+
+        cfg = self.config
+        m = sorted({t for t, _ in analyze_query(" ".join(must or []), cfg)})
+        s_extra = sorted(
+            {t for t, _ in analyze_query(" ".join(should or []), cfg)} - set(m)
+        )
+        n = sorted({t for t, _ in analyze_query(" ".join(must_not or []), cfg)})
+        scored_terms = m + s_extra
+        if not scored_terms:
+            return self._attach_docs(
+                self.spark.createDataFrame([], "doc_int LONG, score DOUBLE"), False
+            )
+        all_terms = sorted(set(scored_terms) | set(n))
+        buckets = sorted(
+            {zlib.crc32(t.encode()) % cfg.term_buckets for t in all_terms}
+        )
+        dt = self.doc_terms.where(
+            F.col("tb").isin(buckets) & F.col("term").isin(all_terms)
+        )
+        scored = (
+            dt.where(F.col("term").isin(scored_terms))
+            .groupBy("doc_int")
+            .agg(
+                F.sum("weight").alias("score"),
+                F.count_distinct(
+                    F.when(F.col("term").isin(m), F.col("term"))
+                ).alias("_nm"),
+            )
+            .where((F.col("_nm") == len(m)) & (F.col("score") > 0))
+            .select("doc_int", "score")
+        )
+        if n:
+            scored = scored.join(
+                dt.where(F.col("term").isin(n)).select("doc_int").distinct(),
+                "doc_int",
+                "left_anti",
+            )
+        deleted = self._deleted()
+        if deleted is not None:
+            scored = scored.join(
+                F.broadcast(deleted.select("doc_int")), "doc_int", "left_anti"
+            )
+        if doc_filter is not None:
+            scored = scored.join(
+                self.docs.where(doc_filter).select("doc_int"), "doc_int", "left_semi"
+            )
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_int")).limit(top_k)
+        return self._attach_docs(topk, False)
+
     def suggest_terms(self, prefix: str, n: int = 10) -> DataFrame:
         """(term, df) — autocomplete off the index's term dictionary:
         ``startswith`` compiles to a range predicate pushed to the sorted

@@ -488,3 +488,32 @@ def test_prefix_search_matches_oracle(corpus, spark):
             for r in s.prefix_search(prefix, top_k=10, max_expansions=cap, method=method).collect()
         ]
         assert_topk_matches(got, scored[:30], 10, tol=1e-5)
+
+
+def test_boolean_search_matches_bruteforce(corpus, spark):
+    """BooleanQuery: must-conjunction, should-scoring, must_not exclusion,
+    verified against a brute-force replay on the oracle weights."""
+    idx_dir, oracle, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    must, should, must_not = ["baba0", "ceba1"], ["diba2"], ["foba3"]
+    scored_terms = ["baba0", "ceba1", "diba2"]
+    expected = []
+    for d, tf in oracle.tf.items():
+        if not all(t in tf for t in must):
+            continue
+        if any(t in tf for t in must_not):
+            continue
+        sc = sum(oracle.doc_weight(t, d) for t in scored_terms if t in tf)
+        if sc > 0:
+            expected.append((d, sc))
+    expected.sort(key=lambda kv: (-kv[1], kv[0]))
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.boolean_search(must=must, should=should, must_not=must_not, top_k=10).collect()
+    ]
+    assert_topk_matches(got, expected[:30], 10, tol=1e-6)
+    assert got, "boolean query should match in this corpus"
+    # must_not actually bites: without it at least as many hits
+    loose = s.boolean_search(must=must, should=should, top_k=1000).count()
+    strict = s.boolean_search(must=must, should=should, must_not=must_not, top_k=1000).count()
+    assert strict < loose
