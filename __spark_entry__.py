@@ -29,6 +29,7 @@ from splade_easy_spark.adhoc import (
     bm25_weights,
     doc_term_tf,
     facet_counts,
+    fuzzy_search,
     more_like_this,
     phrase_search,
     prefix_search,
@@ -559,6 +560,13 @@ def q_boolean_search(spark, sf_dir):
     return out.select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
+def q_fuzzy_search(spark, sf_dir):
+    """Lucene FuzzyQuery: 'scon' within 2 edits (scan=1, slow=2, ...),
+    closeness-boosted OR scoring."""
+    out = fuzzy_search(spark, _docs(spark, sf_dir), "scon", max_dist=2, top_k=10)
+    return out.select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
 def q_bm25_cosine_topk(spark, sf_dir):
     out = bm25_topk(spark, _docs(spark, sf_dir), FLAGSHIP_QUERY, 10, use_cosine=True)
     return out.select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
@@ -1050,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_search": q_prefix_search,
         "suggest_terms": q_suggest_terms,
         "boolean_search": q_boolean_search,
+        "fuzzy_search": q_fuzzy_search,
         "doc_vector": q_doc_vector,
         "point_get": q_point_get,
         "dedup_exact": q_dedup_exact,
@@ -1199,6 +1208,19 @@ sc AS (
 SELECT doc_id, round(score, 4) AS score FROM sc
 WHERE nm = 2 AND score > 0
   AND doc_id NOT IN (SELECT DISTINCT doc_id FROM w WHERE term = 'scan')
+ORDER BY score DESC, doc_id LIMIT 10""",
+        "fuzzy_search": f"""{_BM25_CTES},
+exp AS (
+  SELECT term,
+         1.0 - levenshtein(term, 'scon') / greatest(length(term), 4)::DOUBLE AS qweight
+  FROM dfs
+  WHERE length(term) BETWEEN 2 AND 6 AND levenshtein(term, 'scon') <= 2
+  ORDER BY levenshtein(term, 'scon'), df DESC, term LIMIT 50
+)
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT w.doc_id, sum(w.weight * exp.qweight) AS score
+  FROM w JOIN exp USING (term) GROUP BY w.doc_id
+) WHERE score > 0
 ORDER BY score DESC, doc_id LIMIT 10""",
         "facet_counts": f"""{_BM25_CTES},
 matched AS (

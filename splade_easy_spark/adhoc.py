@@ -445,3 +445,54 @@ def boolean_search(
         )
         scored = scored.join(excluded, "id", "left_anti")
     return scored.orderBy(F.desc("score"), F.asc("id")).limit(top_k)
+
+
+def fuzzy_search(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_term: str,
+    max_dist: int = 2,
+    top_k: int = 10,
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """(id, score) — Lucene FuzzyQuery semantics: expand the query term to
+    dictionary terms within ``max_dist`` Levenshtein edits (closest first,
+    then df desc / term asc, capped at ``max_expansions``), score as an OR
+    query with the standard closeness boost ``1 − dist/max(|q|,|term|)``.
+
+    Scale shape: the edit-distance test runs only on dictionary terms
+    inside the LENGTH BAND ``|q| ± max_dist`` — that predicate prunes the
+    dictionary scan before any levenshtein evaluates (Lucene walks an
+    automaton over its FST; the Spark analog is a banded scan, which is
+    embarrassingly parallel over the term dictionary and never touches
+    postings until the expansion is fixed)."""
+    q = query_term.lower()
+    w = bm25_weights(docs, id_col, text_col, params)
+    tdf = w.groupBy("term").agg(F.count("*").alias("df"))
+    lq = len(q)
+    exp = (
+        tdf.where(F.length("term").between(lq - max_dist, lq + max_dist))
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)))
+        .where(F.col("dist") <= max_dist)
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .select(
+            "term",
+            (
+                1.0
+                - F.col("dist")
+                / F.greatest(F.length("term"), F.lit(lq)).cast("double")
+            ).alias("qweight"),
+        )
+    )
+    return (
+        w.join(F.broadcast(exp), "term")
+        .groupBy("id")
+        .agg(F.sum(F.col("weight") * F.col("qweight")).alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(top_k)
+    )

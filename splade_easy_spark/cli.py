@@ -348,6 +348,19 @@ def cmd_boolean(args) -> int:
     return 0
 
 
+def cmd_fuzzy(args) -> int:
+    from splade_easy_spark.query import Searcher
+
+    s = Searcher(_spark(args), args.index)
+    rows = s.fuzzy_search(
+        args.term, max_dist=args.max_dist, top_k=args.top_k
+    ).collect()
+    for r in rows:
+        print(f"{r['score']:.4f}  {r['doc_id']}  [{r['role']}]")
+    print(f"-- {len(rows)} hits", file=sys.stderr)
+    return 0
+
+
 def cmd_suggest(args) -> int:
     from splade_easy_spark.query import Searcher
 
@@ -522,6 +535,13 @@ def main(argv: list[str] | None = None) -> int:
     bl.add_argument("--must-not", dest="must_not", help="terms that exclude a hit")
     bl.add_argument("--top-k", type=int, default=10)
     bl.set_defaults(fn=cmd_boolean)
+
+    fz = sub.add_parser("fuzzy")
+    fz.add_argument("--index", required=True)
+    fz.add_argument("--term", required=True)
+    fz.add_argument("--max-dist", type=int, default=2)
+    fz.add_argument("--top-k", type=int, default=10)
+    fz.set_defaults(fn=cmd_fuzzy)
 
     sg = sub.add_parser("suggest")
     sg.add_argument("--index", required=True)

@@ -770,6 +770,49 @@ class Searcher:
         topk = scored.orderBy(F.desc("score"), F.asc("doc_int")).limit(top_k)
         return self._attach_docs(topk, False)
 
+    def fuzzy_search(
+        self,
+        query_term: str,
+        max_dist: int = 2,
+        top_k: int = 10,
+        max_expansions: int = 50,
+        use_cosine: bool = False,
+        method: str = "sql",
+        doc_filter: Column | None = None,
+    ) -> DataFrame:
+        """Lucene FuzzyQuery over the index: expand to dictionary terms
+        within ``max_dist`` edits (closest first, then df desc / term asc,
+        capped), then a regular OR search with the closeness boost
+        ``1 − dist/max(|q|,|term|)`` as the query weight — composing with
+        both query paths and ``doc_filter``.  The levenshtein test runs
+        only inside the LENGTH BAND ``|q| ± max_dist`` of the term_stats
+        scan (the banded scan is the distributed analog of Lucene's FST
+        automaton walk; postings are untouched until the expansion is
+        fixed)."""
+        q = query_term.lower()
+        lq = len(q)
+        exp = (
+            self.cat.read(self.spark, "term_stats")
+            .where(F.length("term").between(lq - max_dist, lq + max_dist))
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)))
+            .where(F.col("dist") <= max_dist)
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term", "dist")
+            .collect()
+        )
+        terms = [
+            (r["term"], 1.0 - r["dist"] / max(len(r["term"]), lq)) for r in exp
+        ]
+        if not terms:
+            return self._attach_docs(
+                self.spark.createDataFrame([], "doc_int LONG, score DOUBLE"), False
+            )
+        return self.search(
+            terms, top_k=top_k, use_cosine=use_cosine, method=method,
+            doc_filter=doc_filter,
+        )
+
     def suggest_terms(self, prefix: str, n: int = 10) -> DataFrame:
         """(term, df) — autocomplete off the index's term dictionary:
         ``startswith`` compiles to a range predicate pushed to the sorted

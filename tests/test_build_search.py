@@ -517,3 +517,43 @@ def test_boolean_search_matches_bruteforce(corpus, spark):
     loose = s.boolean_search(must=must, should=should, top_k=1000).count()
     strict = s.boolean_search(must=must, should=should, must_not=must_not, top_k=1000).count()
     assert strict < loose
+
+
+def test_fuzzy_search_matches_bruteforce(corpus, spark):
+    """FuzzyQuery: edit-distance expansion with closeness boost, verified
+    against a brute-force replay on the oracle weights."""
+    import difflib
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    idx_dir, oracle, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    q, d, cap = "baba", 1, 50
+    exp = [
+        (t, lev(t, q), df)
+        for t, df in oracle.df.items()
+        if abs(len(t) - len(q)) <= d and lev(t, q) <= d
+    ]
+    exp.sort(key=lambda x: (x[1], -x[2], x[0]))
+    exp = exp[:cap]
+    qv = {t: 1.0 - dist / max(len(t), len(q)) for t, dist, _ in exp}
+    scored = [(doc, oracle.score(qv, doc)) for doc in oracle.tf]
+    scored = sorted(
+        ((doc, sc) for doc, sc in scored if sc > 0), key=lambda kv: (-kv[1], kv[0])
+    )
+    assert exp, "expansion must be non-empty (baba0 is in the vocab)"
+    for method in ["sql", "wand"]:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in s.fuzzy_search(q, max_dist=d, top_k=10, method=method).collect()
+        ]
+        assert_topk_matches(got, scored[:30], 10, tol=1e-5)
