@@ -338,6 +338,41 @@ def main() -> None:
             formatted(s.phrase_search("baba0 ceba1", top_k=10)),
         )
     )
+    sections.append(
+        (
+            "boolean_search — must/should/must_not in one pruned scan",
+            "ONE bucket-pruned doc_terms scan serves all three clauses: "
+            "the must-conjunction is a count(DISTINCT CASE…) inside the "
+            "scoring HashAggregate (no second join), the must_not "
+            "exclusion a LeftAnti join on the same pruned scan, "
+            "TakeOrderedAndProject above.",
+            formatted(
+                s.boolean_search(
+                    must=["baba0", "ceba1"], should=["diba2"], must_not=["foba3"],
+                    top_k=10,
+                )
+            ),
+        )
+    )
+    sections.append(
+        (
+            "prefix_search — dictionary expansion then a regular OR search",
+            "the returned plan is a plain term-pruned search over the "
+            "expansion; the expansion itself ran as one bounded "
+            "TakeOrderedAndProject over the term_stats scan with "
+            "StringStartsWith in PushedFilters (a range predicate).",
+            formatted(s.prefix_search("ba", top_k=10, max_expansions=8)),
+        )
+    )
+    sections.append(
+        (
+            "suggest_terms — prefix-pruned dictionary rank",
+            "StringStartsWith pushed to the term_stats scan; "
+            "TakeOrderedAndProject (df desc, term asc) — no dictionary "
+            "collect, no window.",
+            formatted(s.suggest_terms("ba", 8)),
+        )
+    )
     out = ["# EXPLAIN — headline physical plans", ""]
     out.append(
         "Generated by `python tools/explain_audit.py`; plans from the live "
