@@ -314,6 +314,13 @@ def search_snippets(
     terms = analyze_query(query_text, IndexConfig(bm25=params or BM25Params()))
     hits = bm25_topk(spark, docs, query_text, top_k, id_col=id_col,
                      text_col=text_col, params=params)
+    if not terms:
+        # empty analysis also means hits is empty — stable schema out
+        return hits.select(
+            "id", "score",
+            F.lit(None).cast("int").alias("pos"),
+            F.lit(None).cast("string").alias("snippet"),
+        )
     hay = F.lower(F.col(text_col))
     sentinel = 1 << 30
     cands = [
@@ -321,16 +328,21 @@ def search_snippets(
         for t, _ in terms
     ]
     # F.least requires >=2 columns — a one-term query indexes directly
-    pos = cands[0] if len(cands) == 1 else F.least(*cands)
+    pos_raw = cands[0] if len(cands) == 1 else F.least(*cands)
+    # a hit normally contains >=1 query term, but never let the internal
+    # sentinel surface (e.g. a caller-supplied non-default analyzer whose
+    # casing disagrees with the lower() haystack)
+    pos = F.when(pos_raw < sentinel, pos_raw.cast("int"))
     return (
         hits.join(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
-        .withColumn("pos", pos.cast("int"))
+        .withColumn("pos", pos)
         .select(
             "id",
             "score",
             "pos",
-            F.expr(
-                f"substring({text_col}, greatest(pos - {before}, 1), {width})"
+            F.when(
+                F.col("pos").isNotNull(),
+                F.expr(f"substring({text_col}, greatest(pos - {before}, 1), {width})"),
             ).alias("snippet"),
         )
         .orderBy(F.desc("score"), F.asc("id"))
@@ -457,6 +469,7 @@ def fuzzy_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     params: BM25Params | None = None,
+    analyzer: AnalyzerConfig | None = None,
 ) -> DataFrame:
     """(id, score) — Lucene FuzzyQuery semantics: expand the query term to
     dictionary terms within ``max_dist`` Levenshtein edits (closest first,
@@ -469,8 +482,12 @@ def fuzzy_search(
     automaton over its FST; the Spark analog is a banded scan, which is
     embarrassingly parallel over the term dictionary and never touches
     postings until the expansion is fixed)."""
-    q = query_term.lower()
-    w = bm25_weights(docs, id_col, text_col, params)
+    a = analyzer or AnalyzerConfig()
+    # the query term goes through the same casing as the dictionary —
+    # unconditional lower() against a case-preserving analyzer would
+    # inflate every distance by the casing edits
+    q = query_term.lower() if a.lowercase else query_term
+    w = bm25_weights(docs, id_col, text_col, params, analyzer)
     tdf = w.groupBy("term").agg(F.count("*").alias("df"))
     lq = len(q)
     exp = (

@@ -308,11 +308,20 @@ def cmd_batch_search(args) -> int:
     raw = sys.stdin.read() if args.queries == "-" else open(args.queries).read()
     queries = []
     for i, ln in enumerate(l.strip() for l in raw.splitlines() if l.strip()):
+        # a brace-led line is TRIED as JSONL but a parse failure (or a
+        # JSON object without "text") falls back to plain text — a
+        # legitimate query that merely starts with '{' must not abort
+        # the whole batch
         if ln.startswith("{"):
-            d = _json.loads(ln)
-            queries.append({"query_id": str(d.get("query_id", i)), "text": d["text"]})
-        else:
-            queries.append({"query_id": f"q{i}", "text": ln})
+            try:
+                d = _json.loads(ln)
+                queries.append(
+                    {"query_id": str(d.get("query_id", i)), "text": d["text"]}
+                )
+                continue
+            except (ValueError, KeyError, TypeError):
+                pass
+        queries.append({"query_id": f"q{i}", "text": ln})
     if not queries:
         print("-- no queries", file=sys.stderr)
         return 0

@@ -230,22 +230,26 @@ class Searcher:
         }
         return self._tb_cache
 
-    def _scores(self, terms: list[tuple[str, float]], use_cosine: bool) -> DataFrame:
-        """(doc_int, score) for all docs sharing ≥1 query term."""
+    def _pruned_doc_terms(self, terms: list[str]) -> DataFrame:
+        """Bucket- and term-pruned doc_terms scan — THE pruning prologue
+        every term-driven verb shares (search, search_many, phrase,
+        boolean): driver-side crc32 bucket computation (same hash as
+        term_bucket_expr, no Spark job) prunes partitions on ``tb``, and
+        the term IN-filter reaches row groups (files are term-sorted
+        within buckets)."""
         import zlib
 
-        qdf = self._query_df(terms)
-        qterms = [t for t, _ in terms]
-        # driver-side bucket computation (no Spark job): same crc32 bucketing
-        # as term_bucket_expr
         buckets = sorted(
-            {zlib.crc32(t.encode()) % self.config.term_buckets for t in qterms}
+            {zlib.crc32(t.encode()) % self.config.term_buckets for t in terms}
         )
-        # partition pruning on tb + row-group pruning on term (files are
-        # term-sorted within buckets, so the IN-filter reaches the scan)
-        dt = self.doc_terms.where(
-            F.col("tb").isin(buckets) & F.col("term").isin(qterms)
+        return self.doc_terms.where(
+            F.col("tb").isin(buckets) & F.col("term").isin(terms)
         )
+
+    def _scores(self, terms: list[tuple[str, float]], use_cosine: bool) -> DataFrame:
+        """(doc_int, score) for all docs sharing ≥1 query term."""
+        qdf = self._query_df(terms)
+        dt = self._pruned_doc_terms([t for t, _ in terms])
         joined = dt.join(F.broadcast(qdf), "term")
         if use_cosine:
             qnorm_row = qdf.agg(F.sqrt(F.sum(F.col("qweight") ** 2)).alias("n")).collect()[0]
@@ -558,16 +562,8 @@ class Searcher:
                 .orderBy("query_id", "rank")
             )
 
-        import zlib
-
         qdf = self.spark.createDataFrame(rows, "query_id STRING, term STRING, qweight DOUBLE")
-        qterms = list({r[1] for r in rows})
-        buckets = sorted(
-            {zlib.crc32(t.encode()) % self.config.term_buckets for t in qterms}
-        )
-        dt = self.doc_terms.where(
-            F.col("tb").isin(buckets) & F.col("term").isin(qterms)
-        )
+        dt = self._pruned_doc_terms(sorted({r[1] for r in rows}))
         joined = dt.join(F.broadcast(qdf), "term")
         if use_cosine:
             qnorms = qdf.groupBy("query_id").agg(
@@ -651,8 +647,6 @@ class Searcher:
         phrases; the docs join is doc_int-grain).  Ranked by BM25 over the
         phrase's distinct terms, desc score / asc doc_id — same semantics
         as ``adhoc.phrase_search``."""
-        import zlib
-
         from splade_easy_spark.adhoc import _phrase_tokens
         from splade_easy_spark.functions.text import tokenize
 
@@ -667,12 +661,7 @@ class Searcher:
                 self.spark.createDataFrame([], "doc_int LONG, score DOUBLE"), False
             )
         distinct = sorted(set(ordered))
-        buckets = sorted(
-            {zlib.crc32(t.encode()) % self.config.term_buckets for t in distinct}
-        )
-        dt = self.doc_terms.where(
-            F.col("tb").isin(buckets) & F.col("term").isin(distinct)
-        )
+        dt = self._pruned_doc_terms(distinct)
         cand = (
             dt.groupBy("doc_int")
             .agg(
@@ -720,8 +709,6 @@ class Searcher:
         all three clauses (the conjunction rides the scoring agg as a
         count-distinct; the exclusion is an anti-join on the must_not
         postings) — same semantics as ``adhoc.boolean_search``."""
-        import zlib
-
         cfg = self.config
         m = sorted({t for t, _ in analyze_query(" ".join(must or []), cfg)})
         s_extra = sorted(
@@ -734,12 +721,7 @@ class Searcher:
                 self.spark.createDataFrame([], "doc_int LONG, score DOUBLE"), False
             )
         all_terms = sorted(set(scored_terms) | set(n))
-        buckets = sorted(
-            {zlib.crc32(t.encode()) % cfg.term_buckets for t in all_terms}
-        )
-        dt = self.doc_terms.where(
-            F.col("tb").isin(buckets) & F.col("term").isin(all_terms)
-        )
+        dt = self._pruned_doc_terms(all_terms)
         scored = (
             dt.where(F.col("term").isin(scored_terms))
             .groupBy("doc_int")
@@ -789,7 +771,9 @@ class Searcher:
         scan (the banded scan is the distributed analog of Lucene's FST
         automaton walk; postings are untouched until the expansion is
         fixed)."""
-        q = query_term.lower()
+        # same casing as the index dictionary — unconditional lower()
+        # against a case-preserving analyzer would inflate every distance
+        q = query_term.lower() if self.config.analyzer.lowercase else query_term
         lq = len(q)
         exp = (
             self.cat.read(self.spark, "term_stats")
@@ -1004,19 +988,32 @@ class Searcher:
                 "doc_id", "score", F.lit(None).cast("int").alias("pos"),
                 F.lit(None).cast("string").alias("snippet"),
             )
-        hay = F.lower(F.col("text"))
+        # haystack casing follows the analyzer: with lowercase=True the
+        # terms are lowercased so the haystack must be too; with a
+        # case-preserving analyzer the raw text already matches the terms
+        hay = (
+            F.lower(F.col("text"))
+            if self.config.analyzer.lowercase
+            else F.col("text")
+        )
         sentinel = 1 << 30
         cands = [
             F.coalesce(F.nullif(F.instr(hay, t), F.lit(0)), F.lit(sentinel))
             for t, _ in terms
         ]
-        pos = cands[0] if len(cands) == 1 else F.least(*cands)
+        pos_raw = cands[0] if len(cands) == 1 else F.least(*cands)
+        # never surface the internal sentinel (defensive: pre-analyzed
+        # term lists may contain terms not present as substrings)
+        pos = F.when(pos_raw < sentinel, pos_raw.cast("int"))
         keep = [c for c in hits.columns if c != "text"]
         return (
-            hits.withColumn("pos", pos.cast("int"))
+            hits.withColumn("pos", pos)
             .withColumn(
                 "snippet",
-                F.expr(f"substring(text, greatest(pos - {before}, 1), {width})"),
+                F.when(
+                    F.col("pos").isNotNull(),
+                    F.expr(f"substring(text, greatest(pos - {before}, 1), {width})"),
+                ),
             )
             .select(*keep, "pos", "snippet")
             .orderBy(F.desc("score"), F.asc("doc_id"))

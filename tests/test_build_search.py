@@ -557,3 +557,34 @@ def test_fuzzy_search_matches_bruteforce(corpus, spark):
             for r in s.fuzzy_search(q, max_dist=d, top_k=10, method=method).collect()
         ]
         assert_topk_matches(got, scored[:30], 10, tol=1e-5)
+
+
+def test_case_preserving_analyzer_fuzzy_and_snippets(spark, tmp_path):
+    """lowercase=False index: fuzzy distances computed against the
+    case-preserving dictionary (exact term = dist 0, boost 1.0) and
+    snippet positions found in the RAW text — the sentinel never leaks."""
+    cfg = IndexConfig(
+        build_partitions=8, term_buckets=16, segment_docs=256, block_size=64,
+        analyzer=AnalyzerConfig(token_pattern="[A-Za-z0-9]+", lowercase=False),
+    )
+    idx = str(tmp_path / "idx_case")
+    tx = generate_transcripts(spark, num_convs=8, seed=5)
+    build_index(spark, tx, idx, cfg)
+    s = Searcher(spark, idx, cfg)
+    up = [
+        r["term"]
+        for r in s.cat.read(spark, "term_stats")
+        .where(F.col("term").rlike("^[A-Z]"))
+        .limit(1)
+        .collect()
+    ]
+    assert up, "mixed-case corpus must yield uppercase terms"
+    term = up[0]
+    hits = s.fuzzy_search(term, max_dist=0, top_k=5).collect()
+    assert hits, "exact case-preserved term must match at distance 0"
+    # snippets: pos is a real position in the raw text, never the sentinel
+    rows = s.search_snippets(term, top_k=3).collect()
+    assert rows
+    for r in rows:
+        assert r["pos"] is not None and 1 <= r["pos"] < (1 << 30)
+        assert r["snippet"]

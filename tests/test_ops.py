@@ -560,3 +560,11 @@ def test_search_snippets_window(spark, corpus_df):
         assert r["pos"] == 17
         assert r["snippet"] == text[17 - 5 - 1 : 17 - 5 - 1 + 12]
         assert "fox" in r["snippet"]
+
+
+def test_search_snippets_empty_query_no_crash(spark, corpus_df):
+    from splade_easy_spark.adhoc import search_snippets
+
+    out = search_snippets(spark, corpus_df, "!!!", top_k=5, id_col="doc_id")
+    assert out.count() == 0
+    assert out.columns == ["id", "score", "pos", "snippet"]
