@@ -31,6 +31,7 @@ from splade_easy_spark.adhoc import (
     facet_counts,
     fuzzy_search,
     more_like_this,
+    near_search,
     phrase_search,
     prefix_search,
     search_snippets,
@@ -560,6 +561,13 @@ def q_boolean_search(spark, sf_dir):
     return out.select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
+def q_near_search(spark, sf_dir):
+    """Lucene SpanNearQuery: 'hash' within 3 tokens of 'join' (either
+    order), ranked by BM25 over the pair."""
+    out = near_search(spark, _docs(spark, sf_dir), "hash", "join", slop=3, top_k=10)
+    return out.select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
 def q_fuzzy_search(spark, sf_dir):
     """Lucene FuzzyQuery: 'scon' within 2 edits (scan=1, slow=2, ...),
     closeness-boosted OR scoring."""
@@ -1059,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": q_suggest_terms,
         "boolean_search": q_boolean_search,
         "fuzzy_search": q_fuzzy_search,
+        "near_search": q_near_search,
         "doc_vector": q_doc_vector,
         "point_get": q_point_get,
         "dedup_exact": q_dedup_exact,
@@ -1220,6 +1229,20 @@ exp AS (
 SELECT doc_id, round(score, 4) AS score FROM (
   SELECT w.doc_id, sum(w.weight * exp.qweight) AS score
   FROM w JOIN exp USING (term) GROUP BY w.doc_id
+) WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 10""",
+        "near_search": f"""{_BM25_CTES},
+p AS (SELECT doc_id, list_extract(toks, i + 1) AS term, i AS pos
+      FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM tok)),
+hits AS (
+  SELECT DISTINCT a.doc_id FROM p a JOIN p b ON a.doc_id = b.doc_id
+  WHERE a.term = 'hash' AND b.term = 'join' AND abs(a.pos - b.pos) BETWEEN 1 AND 3
+)
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT w.doc_id, sum(w.weight) AS score
+  FROM w JOIN hits USING (doc_id)
+  WHERE w.term IN ('hash', 'join')
+  GROUP BY w.doc_id
 ) WHERE score > 0
 ORDER BY score DESC, doc_id LIMIT 10""",
         "facet_counts": f"""{_BM25_CTES},

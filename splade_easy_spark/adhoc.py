@@ -513,3 +513,56 @@ def fuzzy_search(
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(top_k)
     )
+
+
+def near_search(
+    spark: SparkSession,
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    slop: int = 5,
+    top_k: int = 10,
+    ordered: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+    analyzer: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """(id, score) — Lucene SpanNearQuery for a term pair: docs where the
+    two terms occur within ``slop`` token positions (``ordered=True``
+    additionally requires a before b), ranked by BM25 over both terms.
+
+    Scale shape: the token-position stream is FILTERED TO THE TWO QUERY
+    TERMS before any join (posexplode output drops every other token at
+    the map side), so the per-doc position self-join touches only those
+    terms' occurrences — never a full position index, never a full
+    cross-product of the token stream."""
+    cfg = IndexConfig(bm25=params or BM25Params())
+    a_terms = _phrase_tokens(term_a, cfg)
+    b_terms = _phrase_tokens(term_b, cfg)
+    if len(a_terms) != 1 or len(b_terms) != 1:
+        raise ValueError("near_search takes exactly one term per side")
+    ta, tb = a_terms[0], b_terms[0]
+    pos = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokenize(F.col(text_col), analyzer)).alias("pos", "tok"),
+    ).where(F.col("tok").isin([ta, tb]))
+    pa = pos.where(F.col("tok") == ta).select("id", F.col("pos").alias("pa"))
+    pb = pos.where(F.col("tok") == tb).select("id", F.col("pos").alias("pb"))
+    gap = (
+        (F.col("pb") - F.col("pa")).between(1, slop)
+        if ordered
+        else F.abs(F.col("pa") - F.col("pb")).between(1, slop)
+    )
+    hits = pa.join(pb, "id").where(gap).select("id").distinct()
+    w = bm25_weights(docs, id_col, text_col, params, analyzer)
+    qdf = spark.createDataFrame([(t,) for t in sorted({ta, tb})], "term STRING")
+    return (
+        w.join(F.broadcast(qdf), "term")
+        .join(hits, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.sum("weight").alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(top_k)
+    )

@@ -357,6 +357,20 @@ def cmd_boolean(args) -> int:
     return 0
 
 
+def cmd_near(args) -> int:
+    from splade_easy_spark.query import Searcher
+
+    s = Searcher(_spark(args), args.index)
+    rows = s.near_search(
+        args.term_a, args.term_b, slop=args.slop, top_k=args.top_k,
+        ordered=args.ordered,
+    ).collect()
+    for r in rows:
+        print(f"{r['score']:.4f}  {r['doc_id']}  [{r['role']}]")
+    print(f"-- {len(rows)} hits", file=sys.stderr)
+    return 0
+
+
 def cmd_fuzzy(args) -> int:
     from splade_easy_spark.query import Searcher
 
@@ -544,6 +558,15 @@ def main(argv: list[str] | None = None) -> int:
     bl.add_argument("--must-not", dest="must_not", help="terms that exclude a hit")
     bl.add_argument("--top-k", type=int, default=10)
     bl.set_defaults(fn=cmd_boolean)
+
+    nr = sub.add_parser("near")
+    nr.add_argument("--index", required=True)
+    nr.add_argument("--term-a", dest="term_a", required=True)
+    nr.add_argument("--term-b", dest="term_b", required=True)
+    nr.add_argument("--slop", type=int, default=5)
+    nr.add_argument("--ordered", action="store_true")
+    nr.add_argument("--top-k", type=int, default=10)
+    nr.set_defaults(fn=cmd_near)
 
     fz = sub.add_parser("fuzzy")
     fz.add_argument("--index", required=True)

@@ -836,6 +836,77 @@ class Searcher:
             method=method, doc_filter=doc_filter,
         )
 
+    def near_search(
+        self,
+        term_a: str,
+        term_b: str,
+        slop: int = 5,
+        top_k: int = 10,
+        ordered: bool = False,
+        doc_filter: Column | None = None,
+    ) -> DataFrame:
+        """Lucene SpanNearQuery over the index: docs where the two terms
+        occur within ``slop`` token positions (``ordered=True`` requires
+        a before b), ranked by BM25 over the pair.  Same candidate-then-
+        verify shape as phrase_search — the conjunctive candidate set
+        comes off the bucket-pruned doc_terms scan, and only candidate
+        docs' text is re-tokenized for the position check (the position
+        stream is filtered to the two terms before the self-join)."""
+        from splade_easy_spark.adhoc import _phrase_tokens
+        from splade_easy_spark.functions.text import tokenize
+
+        if "text" not in self.docs.columns:
+            raise ValueError(
+                "near_search needs stored text; this index has none "
+                "(vector-mode build)"
+            )
+        a_terms = _phrase_tokens(term_a, self.config)
+        b_terms = _phrase_tokens(term_b, self.config)
+        if len(a_terms) != 1 or len(b_terms) != 1:
+            raise ValueError("near_search takes exactly one term per side")
+        ta, tb = a_terms[0], b_terms[0]
+        distinct = sorted({ta, tb})
+        dt = self._pruned_doc_terms(distinct)
+        cand = (
+            dt.groupBy("doc_int")
+            .agg(
+                F.sum("weight").alias("score"),
+                F.count_distinct("term").alias("_nt"),
+            )
+            .where(F.col("_nt") == len(distinct))
+            .select("doc_int", "score")
+        )
+        deleted = self._deleted()
+        if deleted is not None:
+            cand = cand.join(
+                F.broadcast(deleted.select("doc_int")), "doc_int", "left_anti"
+            )
+        if doc_filter is not None:
+            cand = cand.join(
+                self.docs.where(doc_filter).select("doc_int"), "doc_int", "left_semi"
+            )
+        pos = (
+            cand.join(self.docs.select("doc_int", "text"), "doc_int")
+            .select(
+                "doc_int",
+                F.posexplode(tokenize(F.col("text"), self.config.analyzer)).alias(
+                    "pos", "tok"
+                ),
+            )
+            .where(F.col("tok").isin(distinct))
+        )
+        pa = pos.where(F.col("tok") == ta).select("doc_int", F.col("pos").alias("pa"))
+        pb = pos.where(F.col("tok") == tb).select("doc_int", F.col("pos").alias("pb"))
+        gap = (
+            (F.col("pb") - F.col("pa")).between(1, slop)
+            if ordered
+            else F.abs(F.col("pa") - F.col("pb")).between(1, slop)
+        )
+        near_ids = pa.join(pb, "doc_int").where(gap).select("doc_int").distinct()
+        verified = cand.join(near_ids, "doc_int", "left_semi")
+        topk = verified.orderBy(F.desc("score"), F.asc("doc_int")).limit(top_k)
+        return self._attach_docs(topk, False)
+
     def facet_counts(
         self,
         query: str | list[tuple[str, float]],

@@ -588,3 +588,43 @@ def test_case_preserving_analyzer_fuzzy_and_snippets(spark, tmp_path):
     for r in rows:
         assert r["pos"] is not None and 1 <= r["pos"] < (1 << 30)
         assert r["snippet"]
+
+
+def test_near_search_matches_bruteforce(corpus, spark):
+    """SpanNear: term pair within slop positions, unordered AND ordered,
+    verified against a brute-force position scan of the raw texts."""
+    from tests.oracle import tokenize as tok_py
+
+    idx_dir, oracle, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    ta, tb, slop = "baba0", "ceba1", 4
+
+    def brute(ordered):
+        out = []
+        for d, text in _FIXTURE_TEXTS.items():
+            toks = tok_py(text)
+            pa = [i for i, t in enumerate(toks) if t == ta]
+            pb = [i for i, t in enumerate(toks) if t == tb]
+            if ordered:
+                ok = any(1 <= q - p <= slop for p in pa for q in pb)
+            else:
+                ok = any(1 <= abs(q - p) <= slop for p in pa for q in pb)
+            if ok:
+                sc = oracle.doc_weight(ta, d) + oracle.doc_weight(tb, d)
+                if sc > 0:
+                    out.append((d, sc))
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out
+
+    for ordered in (False, True):
+        expected = brute(ordered)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in s.near_search(ta, tb, slop=slop, top_k=10, ordered=ordered).collect()
+        ]
+        assert_topk_matches(got, expected[:30], 10, tol=1e-6)
+        assert got, f"near pair must match (ordered={ordered})"
+    # ordered hits are a subset of unordered at the same slop
+    uo = {r["doc_id"] for r in s.near_search(ta, tb, slop=slop, top_k=10**6).collect()}
+    od = {r["doc_id"] for r in s.near_search(ta, tb, slop=slop, top_k=10**6, ordered=True).collect()}
+    assert od <= uo
