@@ -34,6 +34,7 @@ from splade_easy_spark.adhoc import (
     near_search,
     phrase_search,
     prefix_search,
+    regex_search,
     search_snippets,
     suggest_terms,
 )
@@ -568,6 +569,13 @@ def q_near_search(spark, sf_dir):
     return out.select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
+def q_regex_search(spark, sf_dir):
+    """Lucene RegexpQuery: anchored full-term pattern 's(can|ort)',
+    OR-scored over the matching dictionary terms."""
+    out = regex_search(spark, _docs(spark, sf_dir), "s(can|ort)", 10)
+    return out.select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
 def q_fuzzy_search(spark, sf_dir):
     """Lucene FuzzyQuery: 'scon' within 2 edits (scan=1, slow=2, ...),
     closeness-boosted OR scoring."""
@@ -1068,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_search": q_boolean_search,
         "fuzzy_search": q_fuzzy_search,
         "near_search": q_near_search,
+        "regex_search": q_regex_search,
         "doc_vector": q_doc_vector,
         "point_get": q_point_get,
         "dedup_exact": q_dedup_exact,
@@ -1228,6 +1237,14 @@ exp AS (
 )
 SELECT doc_id, round(score, 4) AS score FROM (
   SELECT w.doc_id, sum(w.weight * exp.qweight) AS score
+  FROM w JOIN exp USING (term) GROUP BY w.doc_id
+) WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 10""",
+        "regex_search": f"""{_BM25_CTES},
+exp AS (SELECT term FROM dfs WHERE regexp_full_match(term, 's(can|ort)')
+        ORDER BY df DESC, term LIMIT 64)
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT w.doc_id, sum(w.weight) AS score
   FROM w JOIN exp USING (term) GROUP BY w.doc_id
 ) WHERE score > 0
 ORDER BY score DESC, doc_id LIMIT 10""",

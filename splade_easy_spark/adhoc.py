@@ -566,3 +566,41 @@ def near_search(
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(top_k)
     )
+
+
+def regex_search(
+    spark: SparkSession,
+    docs: DataFrame,
+    pattern: str,
+    top_k: int = 10,
+    max_expansions: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """(id, score) — Lucene RegexpQuery semantics: expand the pattern to
+    dictionary terms it FULLY matches (anchored, like Lucene — 'sc.n'
+    matches the term 'scan', never a substring), df desc / term asc,
+    capped at ``max_expansions``; score as an OR query with unit weights.
+
+    Scale note: a general regex cannot push down, so the expansion scans
+    the term dictionary (|dictionary| ≪ |corpus|, embarrassingly
+    parallel — the same trade Lucene makes when a pattern's automaton has
+    no literal prefix); postings are untouched until the expansion is
+    fixed."""
+    w = bm25_weights(docs, id_col, text_col, params)
+    tdf = w.groupBy("term").agg(F.count("*").alias("df"))
+    exp = (
+        tdf.where(F.col("term").rlike(f"^(?:{pattern})$"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .select("term")
+    )
+    return (
+        w.join(F.broadcast(exp), "term")
+        .groupBy("id")
+        .agg(F.sum("weight").alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(top_k)
+    )

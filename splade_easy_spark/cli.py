@@ -357,6 +357,17 @@ def cmd_boolean(args) -> int:
     return 0
 
 
+def cmd_regex(args) -> int:
+    from splade_easy_spark.query import Searcher
+
+    s = Searcher(_spark(args), args.index)
+    rows = s.regex_search(args.pattern, top_k=args.top_k).collect()
+    for r in rows:
+        print(f"{r['score']:.4f}  {r['doc_id']}  [{r['role']}]")
+    print(f"-- {len(rows)} hits", file=sys.stderr)
+    return 0
+
+
 def cmd_near(args) -> int:
     from splade_easy_spark.query import Searcher
 
@@ -558,6 +569,12 @@ def main(argv: list[str] | None = None) -> int:
     bl.add_argument("--must-not", dest="must_not", help="terms that exclude a hit")
     bl.add_argument("--top-k", type=int, default=10)
     bl.set_defaults(fn=cmd_boolean)
+
+    rx = sub.add_parser("regex")
+    rx.add_argument("--index", required=True)
+    rx.add_argument("--pattern", required=True, help="anchored full-term regex")
+    rx.add_argument("--top-k", type=int, default=10)
+    rx.set_defaults(fn=cmd_regex)
 
     nr = sub.add_parser("near")
     nr.add_argument("--index", required=True)

@@ -907,6 +907,39 @@ class Searcher:
         topk = verified.orderBy(F.desc("score"), F.asc("doc_int")).limit(top_k)
         return self._attach_docs(topk, False)
 
+    def regex_search(
+        self,
+        pattern: str,
+        top_k: int = 10,
+        max_expansions: int = 64,
+        use_cosine: bool = False,
+        method: str = "sql",
+        doc_filter: Column | None = None,
+    ) -> DataFrame:
+        """Lucene RegexpQuery over the index: anchored full-term pattern
+        expanded against the term dictionary (df desc / term asc, capped),
+        then a regular OR search with unit weights.  A general regex has
+        no pushdown, so the expansion scans term_stats — |dictionary| ≪
+        |corpus| and the scan is embarrassingly parallel, the same trade
+        Lucene makes when a pattern's automaton has no literal prefix."""
+        exp = [
+            r["term"]
+            for r in self.cat.read(self.spark, "term_stats")
+            .where(F.col("term").rlike(f"^(?:{pattern})$"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term")
+            .collect()
+        ]
+        if not exp:
+            return self._attach_docs(
+                self.spark.createDataFrame([], "doc_int LONG, score DOUBLE"), False
+            )
+        return self.search(
+            [(t, 1.0) for t in exp], top_k=top_k, use_cosine=use_cosine,
+            method=method, doc_filter=doc_filter,
+        )
+
     def facet_counts(
         self,
         query: str | list[tuple[str, float]],

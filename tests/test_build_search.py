@@ -628,3 +628,30 @@ def test_near_search_matches_bruteforce(corpus, spark):
     uo = {r["doc_id"] for r in s.near_search(ta, tb, slop=slop, top_k=10**6).collect()}
     od = {r["doc_id"] for r in s.near_search(ta, tb, slop=slop, top_k=10**6, ordered=True).collect()}
     assert od <= uo
+
+
+def test_regex_search_matches_bruteforce(corpus, spark):
+    """RegexpQuery: anchored full-term expansion, OR-scored — vs replay."""
+    import re as _re
+
+    idx_dir, oracle, _ = corpus
+    s = Searcher(spark, idx_dir, CFG)
+    pattern = "ba.a0|ceba."
+    rx = _re.compile(f"^(?:{pattern})$")
+    exp = sorted(
+        ((t, d) for t, d in oracle.df.items() if rx.match(t)),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:64]
+    assert exp, "pattern must match dictionary terms"
+    qv = {t: 1.0 for t, _ in exp}
+    scored = sorted(
+        ((d, sc) for d in oracle.tf if (sc := oracle.score(qv, d)) > 0),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.regex_search(pattern, top_k=10).collect()
+    ]
+    assert_topk_matches(got, scored[:30], 10, tol=1e-6)
+    # no-match pattern returns empty, not an error
+    assert s.regex_search("zz[0-9]{9}", top_k=5).count() == 0
