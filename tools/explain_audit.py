@@ -373,6 +373,29 @@ def main() -> None:
             formatted(s.suggest_terms("ba", 8)),
         )
     )
+    sections.append(
+        (
+            "near_search — positional verify on candidates only",
+            "conjunctive candidate agg off the bucket-pruned doc_terms "
+            "scan; the PosExplode/tokenize subtree sits DOWNSTREAM of the "
+            "candidate join (only candidate docs re-tokenize) with the "
+            "two-term IN filter directly above it; the position self-join "
+            "is doc_int-grain.",
+            formatted(s.near_search("baba0", "ceba1", slop=3, top_k=10)),
+        )
+    )
+    sections.append(
+        (
+            "fuzzy_search — banded dictionary expansion then OR search",
+            "the returned plan is a plain term-pruned search over the "
+            "expansion (weighted by the closeness boost); the expansion "
+            "itself ran as a bounded TakeOrderedAndProject over the "
+            "term_stats scan with the |q|±d length band pushed "
+            "(GreaterThanOrEqual/LessThanOrEqual on length is evaluated "
+            "post-scan but the levenshtein only runs inside the band).",
+            formatted(s.fuzzy_search("bbaa0", max_dist=2, top_k=10)),
+        )
+    )
     out = ["# EXPLAIN — headline physical plans", ""]
     out.append(
         "Generated by `python tools/explain_audit.py`; plans from the live "
