@@ -357,6 +357,19 @@ def cmd_boolean(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Lucene-style query string: quoted phrases, +must, -must_not,
+    field:value filters, fuzzy~N, prefix*."""
+    from splade_easy_spark.query import Searcher
+
+    s = Searcher(_spark(args), args.index)
+    rows = s.query(args.query, top_k=args.top_k).collect()
+    for r in rows:
+        print(f"{r['score']:.4f}  {r['doc_id']}  [{r['role']}]")
+    print(f"-- {len(rows)} hits", file=sys.stderr)
+    return 0
+
+
 def cmd_regex(args) -> int:
     from splade_easy_spark.query import Searcher
 
@@ -569,6 +582,15 @@ def main(argv: list[str] | None = None) -> int:
     bl.add_argument("--must-not", dest="must_not", help="terms that exclude a hit")
     bl.add_argument("--top-k", type=int, default=10)
     bl.set_defaults(fn=cmd_boolean)
+
+    qy = sub.add_parser("query")
+    qy.add_argument("--index", required=True)
+    qy.add_argument(
+        "--query", required=True,
+        help='Lucene-style string, e.g. \'+spark "hash join" -scan role:user fast~1 pre*\'',
+    )
+    qy.add_argument("--top-k", type=int, default=10)
+    qy.set_defaults(fn=cmd_query)
 
     rx = sub.add_parser("regex")
     rx.add_argument("--index", required=True)

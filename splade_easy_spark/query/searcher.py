@@ -773,6 +773,25 @@ class Searcher:
         fixed)."""
         # same casing as the index dictionary — unconditional lower()
         # against a case-preserving analyzer would inflate every distance
+        terms = self._fuzzy_expansions(query_term, max_dist, max_expansions)
+        if not terms:
+            return self._attach_docs(
+                self.spark.createDataFrame([], "doc_int LONG, score DOUBLE"), False
+            )
+        return self.search(
+            terms, top_k=top_k, use_cosine=use_cosine, method=method,
+            doc_filter=doc_filter,
+        )
+
+    def _fuzzy_expansions(
+        self, query_term: str, max_dist: int, max_expansions: int
+    ) -> list[tuple[str, float]]:
+        """[(term, closeness boost)] — the FuzzyQuery expansion: dictionary
+        terms within ``max_dist`` edits, levenshtein evaluated only inside
+        the |q|±d length band, closest-first / df desc / term asc capped
+        cut, boost = 1 − dist/max(|q|,|term|).  Query casing follows the
+        analyzer (unconditional lower() against a case-preserving
+        dictionary would inflate every distance)."""
         q = query_term.lower() if self.config.analyzer.lowercase else query_term
         lq = len(q)
         exp = (
@@ -785,17 +804,109 @@ class Searcher:
             .select("term", "dist")
             .collect()
         )
-        terms = [
-            (r["term"], 1.0 - r["dist"] / max(len(r["term"]), lq)) for r in exp
-        ]
-        if not terms:
+        return [(r["term"], 1.0 - r["dist"] / max(len(r["term"]), lq)) for r in exp]
+
+    def query(
+        self,
+        qs: str,
+        top_k: int = 10,
+        doc_filter: Column | None = None,
+    ) -> DataFrame:
+        """Execute a Lucene-style query string (see ``query.parser`` for
+        the grammar: quoted phrases, +must, -must_not, field:value
+        filters, fuzzy~N, prefix*).  Composition of the engine's
+        primitives in ONE plan: one bucket-pruned doc_terms scan scores
+        every clause's terms (must-conjunction as a count-distinct inside
+        the scoring agg, exclusions as an anti-join), field filters land
+        on the pushed docs scan with full-corpus idf, and phrase
+        constraints verify token sequences on candidate rows only."""
+        from splade_easy_spark.adhoc import _phrase_tokens
+        from splade_easy_spark.functions.text import tokenize
+        from splade_easy_spark.query.parser import parse_query
+
+        p = parse_query(qs)
+        cfg = self.config
+
+        def analyzed(words: list[str]) -> list[str]:
+            return [t for w in words for t, _ in analyze_query(w, cfg)]
+
+        phrases = [ph for ph in (_phrase_tokens(x, cfg) for x in p.phrases) if ph]
+        if phrases and "text" not in self.docs.columns:
+            raise ValueError(
+                "phrase clauses need stored text; this index has none "
+                "(vector-mode build)"
+            )
+        must_set = sorted(
+            set(analyzed(p.must)) | {t for ph in phrases for t in ph}
+        )
+        weights: dict[str, float] = {t: 1.0 for t in must_set}
+        for t in analyzed(p.should):
+            weights[t] = max(weights.get(t, 0.0), 1.0)
+        for term, dist in p.fuzzy:
+            for t, w in self._fuzzy_expansions(term, dist, 50):
+                weights[t] = max(weights.get(t, 0.0), w)
+        for pre in p.prefixes:
+            for r in self.suggest_terms(pre, 64).collect():
+                weights[r["term"]] = max(weights.get(r["term"], 0.0), 1.0)
+        must_not = sorted(set(analyzed(p.must_not)))
+        flt = doc_filter
+        for name, val in p.filters:
+            rhs = int(val) if val.lstrip("-").isdigit() else val
+            cond = F.col(name) == rhs
+            flt = cond if flt is None else (flt & cond)
+        if not weights:
             return self._attach_docs(
                 self.spark.createDataFrame([], "doc_int LONG, score DOUBLE"), False
             )
-        return self.search(
-            terms, top_k=top_k, use_cosine=use_cosine, method=method,
-            doc_filter=doc_filter,
+        dt = self._pruned_doc_terms(sorted(set(weights) | set(must_not)))
+        qdf = self.spark.createDataFrame(
+            sorted(weights.items()), "term STRING, qweight DOUBLE"
         )
+        scored = (
+            dt.where(F.col("term").isin(list(weights)))
+            .join(F.broadcast(qdf), "term")
+            .groupBy("doc_int")
+            .agg(
+                F.sum(F.col("weight") * F.col("qweight")).alias("score"),
+                F.count_distinct(
+                    F.when(F.col("term").isin(must_set), F.col("term"))
+                ).alias("_nm"),
+            )
+            .where((F.col("_nm") == len(must_set)) & (F.col("score") > 0))
+            .select("doc_int", "score")
+        )
+        if must_not:
+            scored = scored.join(
+                dt.where(F.col("term").isin(must_not)).select("doc_int").distinct(),
+                "doc_int",
+                "left_anti",
+            )
+        deleted = self._deleted()
+        if deleted is not None:
+            scored = scored.join(
+                F.broadcast(deleted.select("doc_int")), "doc_int", "left_anti"
+            )
+        if flt is not None:
+            scored = scored.join(
+                self.docs.where(flt).select("doc_int"), "doc_int", "left_semi"
+            )
+        if phrases:
+            hay = F.concat(
+                F.lit(" "),
+                F.array_join(tokenize(F.col("text"), cfg.analyzer), " "),
+                F.lit(" "),
+            )
+            cond = None
+            for ph in phrases:
+                c = F.instr(hay, " " + " ".join(ph) + " ") > 0
+                cond = c if cond is None else (cond & c)
+            scored = (
+                scored.join(self.docs.select("doc_int", "text"), "doc_int")
+                .where(cond)
+                .select("doc_int", "score")
+            )
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_int")).limit(top_k)
+        return self._attach_docs(topk, False)
 
     def suggest_terms(self, prefix: str, n: int = 10) -> DataFrame:
         """(term, df) — autocomplete off the index's term dictionary:
