@@ -396,6 +396,21 @@ def main() -> None:
             formatted(s.fuzzy_search("bbaa0", max_dist=2, top_k=10)),
         )
     )
+    sections.append(
+        (
+            "query() — composed query-string plan",
+            "'+baba0 \"baba0 ceba1\" -foba3 role:user diba2' compiles to "
+            "ONE plan: a single bucket-pruned doc_terms scan feeds the "
+            "scoring HashAggregate (must-conjunction as count(DISTINCT "
+            "CASE)), a LeftAnti on the same scan excludes -terms, the "
+            "role filter is pushed to the docs scan (EqualTo), and the "
+            "phrase verify's tokenize/instr sits downstream of the "
+            "candidate join.",
+            formatted(
+                s.query('+baba0 "baba0 ceba1" -foba3 role:user diba2', top_k=10)
+            ),
+        )
+    )
     out = ["# EXPLAIN — headline physical plans", ""]
     out.append(
         "Generated by `python tools/explain_audit.py`; plans from the live "
