@@ -11,9 +11,6 @@ predicate-pushed) at any scale.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -47,40 +44,56 @@ def term_tf_frame(
     entirely map-side.
 
     Tokenization stays a JVM Catalyst expression (``tokenize``); the
-    count-per-(doc, term) step is an Arrow-batched ``mapInPandas`` kernel
-    (pandas ``explode`` + ``groupby`` — vectorized C).  Measured against the
-    alternatives on a 98k-turn corpus: 6.3s vs 8.3s for
+    count-per-(doc, term) step is a columnar ``mapInArrow`` kernel: the
+    token lists arrive as one flat Arrow string array plus offsets, terms
+    are integer-coded with ``pyarrow.compute.dictionary_encode`` (C speed,
+    no Python string objects), and the (doc, term) pair counts come from
+    one ``np.unique`` over packed ``doc_idx<<32 | code`` int64 keys.
+    Measured on a 98k-turn corpus (9.8M output rows, 32 cores): 0.6s vs
+    2.2s for the previous pandas explode+groupby kernel, 8.3s for
     ``explode→groupBy`` (which also pays a token-grain exchange — the
     shuffle this design must avoid at 10^12 turns) and 30s for per-row
-    array HOFs (O(distinct·len) comparisons per row).  Docs with no tokens
-    produce no rows (BM25 ignores them; doc_len is carried separately)."""
+    array HOFs.  Output rows stay doc-contiguous (keys sort doc-major).
+    Docs with no tokens produce no rows (BM25 ignores them; doc_len is
+    carried separately)."""
     analyzer = analyzer or AnalyzerConfig()
     toks = tokenize(F.col(text_col), analyzer)
     src_schema = df.select(*id_cols).schema
     out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src_schema.fields)
     out_schema = f"{out_fields}, term STRING, tf INT"
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # sub-chunk: explode fans each doc row out ~100×, and pandas
-        # explode/groupby degrade past ~10^6 intermediate rows — keep the
-        # exploded frame small regardless of the session's Arrow batch size
-        chunk = 8192
-        for pdf in batches:
-            for lo in range(0, len(pdf), chunk):
-                sub = pdf.iloc[lo : lo + chunk]
-                e = sub.explode("_toks").dropna(subset=["_toks"])
-                if len(e) == 0:
-                    continue
-                g = (
-                    e.groupby(id_cols + ["_toks"], sort=False, observed=True)
-                    .size()
-                    .reset_index(name="tf")
-                    .rename(columns={"_toks": "term"})
-                )
-                g["tf"] = g["tf"].astype("int32")
-                yield g[id_cols + ["term", "tf"]]
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return df.select(*id_cols, toks.alias("_toks")).mapInPandas(kernel, schema=out_schema)
+        for rb in batches:
+            col = rb.column(rb.num_columns - 1)  # _toks is always last
+            n = len(col)
+            if n == 0:
+                continue
+            lens = (
+                pc.list_value_length(col)
+                .fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            flat = pc.list_flatten(col)
+            if len(flat) == 0:
+                continue
+            enc = pc.dictionary_encode(flat)
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            keys = (doc_idx << 32) | codes
+            uk, counts = np.unique(keys, return_counts=True)
+            ud = pa.array(uk >> 32)
+            uc = pa.array(uk & 0xFFFFFFFF)
+            arrs = [rb.column(i).take(ud) for i in range(rb.num_columns - 1)]
+            arrs.append(enc.dictionary.take(uc))
+            arrs.append(pa.array(counts.astype(np.int32)))
+            yield pa.RecordBatch.from_arrays(arrs, names=[*id_cols, "term", "tf"])
+
+    return df.select(*id_cols, toks.alias("_toks")).mapInArrow(kernel, schema=out_schema)
 
 
 def doc_id_expr(conv_id: Column | str = "conv_id", turn_idx: Column | str = "turn_idx") -> Column:

@@ -43,7 +43,6 @@ from splade_easy_spark.functions.bm25 import bm25_weight_expr, idf_expr
 from splade_easy_spark.functions.text import doc_id_expr, term_tf_frame, tokenize
 from splade_easy_spark.index.catalog import IndexCatalog, term_bucket_expr
 from splade_easy_spark.index.docids import assign_doc_ints
-from splade_easy_spark.index.postings import pack_postings
 
 #: packed postings block schema.  The term key is a 60-bit content hash
 #: (``catalog.term_id_py``) rather than the term string: a block row is a
@@ -339,40 +338,77 @@ def _pack_batch(
     import pyarrow as pa
 
     from splade_easy_spark.index.catalog import term_id_py
+    from splade_easy_spark.index.postings import varbyte_encode_with_sizes
 
     tkey = "term_id" if term_ids else "term"
     term_col = rb.column("term_first")
-    doc = rb.column("doc_int").to_numpy(zero_copy_only=False)
-    wt = rb.column("weight").to_numpy(zero_copy_only=False)
-    nwt = rb.column("nweight").to_numpy(zero_copy_only=False) if pack_cosine else None
+    doc = rb.column("doc_int").to_numpy(zero_copy_only=False).astype(np.int64)
+    wt = rb.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+    nwt = (
+        rb.column("nweight").to_numpy(zero_copy_only=False).astype(np.float64)
+        if pack_cosine
+        else None
+    )
     change = _group_starts(rb)
-    starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [rb.num_rows]))
-    out: dict[str, list] = {k: [] for k in [
-        "seg", tkey, "block_id", "n", "doc_min", "doc_max", "max_weight",
-        "docs", "wts", "max_nweight", "nwts",
-    ]}
-    for s, e in zip(starts, ends):
-        tval = term_col[s].as_py()
-        if term_ids:
-            tval = term_id_py(tval, term_id_seed)
-        seg_val = int(doc[s]) // segment_docs
-        for b in pack_postings(
-            doc[s:e], wt[s:e], block_size,
-            nweights=nwt[s:e] if nwt is not None else None,
-        ):
-            out["seg"].append(seg_val)
-            out[tkey].append(tval)
-            out["block_id"].append(b["block_id"])
-            out["n"].append(b["n"])
-            out["doc_min"].append(b["doc_min"])
-            out["doc_max"].append(b["doc_max"])
-            out["max_weight"].append(b["max_weight"])
-            out["docs"].append(b["docs"])
-            out["wts"].append(b["wts"])
-            out["max_nweight"].append(b.get("max_nweight", 0.0))
-            out["nwts"].append(b.get("nwts", b""))
-    return pa.RecordBatch.from_pydict(out, schema=_postings_pa_schema(term_ids))
+    gstarts = np.concatenate(([0], change))
+    gends = np.concatenate((change, [rb.num_rows]))
+
+    # one term materialization per GROUP (never per row or per block)
+    tvals = [term_col[int(s)].as_py() for s in gstarts]
+    if term_ids:
+        tvals = [term_id_py(t, term_id_seed) for t in tvals]
+
+    # block tiling of the batch: every group [s, e) splits at s, s+bs, …;
+    # consecutive block starts tile the whole batch, so every per-block
+    # statistic below is a reduceat / gather over the full arrays — the
+    # round-5 per-block loop (argsort + diff + encode per ≤128-posting
+    # block, ~64k blocks per build) was the postings stage's Python floor.
+    nblk = (gends - gstarts + block_size - 1) // block_size
+    bstarts = np.concatenate(
+        [np.arange(s, e, block_size, dtype=np.int64) for s, e in zip(gstarts, gends)]
+    )
+    bends = np.minimum(bstarts + block_size, np.repeat(gends, nblk))
+    block_id = np.concatenate([np.arange(k, dtype=np.int64) for k in nblk])
+
+    # delta stream with an absolute value at each block start, encoded ONCE
+    deltas = np.empty(len(doc), dtype=np.uint64)
+    deltas[0] = doc[0]
+    if len(doc) > 1:
+        deltas[1:] = (doc[1:] - doc[:-1]).astype(np.uint64)
+    deltas[bstarts] = doc[bstarts].astype(np.uint64)
+    enc, nbytes = varbyte_encode_with_sizes(deltas)
+    enc_b = enc.tobytes()
+    byte_off = np.zeros(len(doc) + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=byte_off[1:])
+
+    w32 = wt.astype(np.float32).tobytes()
+    maxw = np.maximum.reduceat(wt, bstarts)
+    segs = np.repeat(doc[gstarts] // segment_docs, nblk)
+    if term_ids:
+        tcol: object = pa.array(np.repeat(np.asarray(tvals, dtype=np.int64), nblk))
+    else:
+        tcol = pa.array(np.repeat(np.asarray(tvals, dtype=object), nblk))
+    if nwt is not None:
+        max_nw = np.maximum.reduceat(nwt, bstarts)
+        n32 = nwt.astype(np.float32).tobytes()
+        nwts = [n32[4 * s : 4 * e] for s, e in zip(bstarts, bends)]
+    else:
+        max_nw = np.zeros(len(bstarts), dtype=np.float64)
+        nwts = [b""] * len(bstarts)
+    arrays = [
+        pa.array(segs),
+        tcol,
+        pa.array(block_id.astype(np.int32)),
+        pa.array((bends - bstarts).astype(np.int32)),
+        pa.array(doc[bstarts]),
+        pa.array(doc[bends - 1]),
+        pa.array(maxw),
+        pa.array([enc_b[byte_off[s] : byte_off[e]] for s, e in zip(bstarts, bends)]),
+        pa.array([w32[4 * s : 4 * e] for s, e in zip(bstarts, bends)]),
+        pa.array(max_nw),
+        pa.array(nwts),
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=_postings_pa_schema(term_ids))
 
 
 def pack_doc_terms(
@@ -422,13 +458,19 @@ def pack_doc_terms(
             else F.when(F.col("norm") > 0, F.col("weight") / F.col("norm")).otherwise(F.lit(0.0))
         )
         cols.append(nweight.alias("nweight"))
-    # the window's required clustering (seg) is satisfied by the explicit
+    # the window's required clustering is satisfied by the explicit
     # repartition; its sort spec (seg, term, doc_int) IS the packer's input
-    # order — one exchange + one sort total, same as the round-2 plan
-    w = Window.partitionBy("seg").orderBy("term", "doc_int")
+    # order — one exchange + one sort total.  Partitioning is (seg, term),
+    # NOT seg alone: a packing group is a (seg, term) posting run, so the
+    # exchange only needs group-grain colocation, and seg-only partitioning
+    # caps pack parallelism at the segment count (6 tasks on a 98k-doc
+    # corpus with 2^14-doc segments — measured as the postings stage's
+    # straggler) while (seg, term) spreads the same groups over every core
+    # with a tighter per-partition skew bound.
+    w = Window.partitionBy("seg", "term").orderBy("doc_int")
     slim = (
         dt.select(*cols)
-        .repartition(F.col("seg"))
+        .repartition(F.col("seg"), F.col("term"))
         .withColumn(
             "term_first",
             F.when(F.lag("term").over(w) == F.col("term"), F.lit(None).cast("string"))
@@ -568,26 +610,42 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = N
     # sortWithinPartitions(term) gives tight parquet row-group min/max stats
     # on term, so query-time `term IN (...)` predicates prune row groups, not
     # just bucket directories
-    cat.write(
-        doc_terms.repartition(cfg.build_partitions, F.col("tb"), F.col("_salt"))
-        .drop("_salt")
-        .sortWithinPartitions("term", "doc_int"),
-        "doc_terms",
-        partition_by=["tb"],
-    )
+    def _write_doc_terms() -> None:
+        cat.write(
+            doc_terms.repartition(cfg.build_partitions, F.col("tb"), F.col("_salt"))
+            .drop("_salt")
+            .sortWithinPartitions("term", "doc_int"),
+            "doc_terms",
+            partition_by=["tb"],
+        )
 
     # pack straight from the in-flight frame — re-reading the just-written
     # doc_terms parquet would cost a full extra table scan.  The pack input
     # carries norm (for the cosine-mode normalized weights), so it reuses
     # the same norms agg + SHUFFLE_HASH join the doc_terms write ran.
-    packed = pack_doc_terms(
-        with_norm.select("term", "doc_int", "weight", "norm"),
-        cfg.segment_docs,
-        cfg.block_size,
-        pack_cosine=cfg.pack_cosine,
-        term_id_seed=cfg.term_id_seed,
-    ).sortWithinPartitions("term_id", "block_id")
-    cat.write(packed, "postings", partition_by=["seg"])
+    def _write_postings() -> None:
+        packed = pack_doc_terms(
+            with_norm.select("term", "doc_int", "weight", "norm"),
+            cfg.segment_docs,
+            cfg.block_size,
+            pack_cosine=cfg.pack_cosine,
+            term_id_seed=cfg.term_id_seed,
+        ).sortWithinPartitions("term_id", "block_id")
+        cat.write(packed, "postings", partition_by=["seg"])
+
+    # the two writes are independent consumers of the same cached frame —
+    # submit them concurrently so the second job's tasks back-fill executor
+    # slots freed by the first job's straggler tail (FIFO scheduling does
+    # exactly this; both jobs read `with_norm` from the block-manager cache,
+    # so there is no duplicated upstream work).  Materialize the cache first
+    # so the two jobs never race to compute the same cached partitions.
+    with_norm.count()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_write_doc_terms), pool.submit(_write_postings)]
+        for f in futs:
+            f.result()
     with_norm.unpersist()
     weighted.unpersist()
     if ctx is not None and "term_tf" in ctx:

@@ -20,10 +20,14 @@ import numpy as np
 BLOCK_SIZE_DEFAULT = 128
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized varbyte encode of a uint64 array."""
+def varbyte_encode_with_sizes(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varbyte encode of a uint64 array → (uint8 byte array,
+    per-value byte counts).  Each value's encoding is independent, so any
+    contiguous run of values maps to the contiguous byte slice given by the
+    cumulative sizes — the batch packer encodes a whole Arrow batch once
+    and slices per block."""
     if len(values) == 0:
-        return b""
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     v = values.astype(np.uint64)
     bitlen = np.zeros(len(v), dtype=np.int64)
     tmp = v.copy()
@@ -44,6 +48,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         more = (nbytes[mask] - 1) > b
         out[pos] = byte | (more.astype(np.uint8) << 7)
         rem[mask] >>= np.uint64(7)
+    return out, nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a uint64 array."""
+    out, _ = varbyte_encode_with_sizes(values)
     return out.tobytes()
 
 
