@@ -29,6 +29,11 @@ def doc_term_tf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     (functions.text.term_tf_frame)."""
     from splade_easy_spark.functions.text import term_tf_frame
 
+    # NB: no scan-parallelism floor here — the adhoc BM25 plans reference
+    # this frame from several subtrees (stats/dfs/weights), so an injected
+    # round-robin exchange executes once PER SUBTREE and measured 3x slower
+    # than the narrow scan on the 5k-doc gate corpus; the floor belongs in
+    # ops whose expensive projection runs exactly once (see ops.dedup).
     base = docs.select(
         F.col(id_col).alias("id"),
         F.size(tokenize(F.col(text_col), analyzer)).alias("doc_len"),

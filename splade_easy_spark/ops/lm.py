@@ -52,7 +52,21 @@ def unigram_logprob(
         F.col("id").alias(id_col), "term", "tf"
     )
     if stats is None:
-        stats = tt.groupBy("term").agg(F.sum("tf").alias("total_tf"))
+        # total_tf(t) = total token occurrences of t, so the self-corpus
+        # stats branch needs no (doc, term) grain: a pure-JVM token explode
+        # + map-side-combined count replaces a SECOND run of the doc_term_tf
+        # Python kernel (the stats and scoring branches are separate plan
+        # subtrees — Catalyst cannot share the opaque kernel between them,
+        # so the previous formulation tokenized and counted the corpus
+        # twice through Python; measured 6.6s → 4.4s on the 98k-doc bench
+        # corpus).  Values are identical: Σ_d tf(d,t) ≡ count of t.
+        from splade_easy_spark.functions.text import tokenize
+
+        stats = (
+            docs.select(F.explode(tokenize(F.col(text_col))).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("total_tf"))
+        )
     totals = stats.agg(
         F.sum("total_tf").alias("_T"), F.count("*").alias("_V")
     )

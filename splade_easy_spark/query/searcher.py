@@ -1094,60 +1094,48 @@ class Searcher:
         term), query weight = source weight, source doc excluded.
 
         Scale shape: the source vector is NEVER read from doc_terms (a
-        doc-grain lookup there scans every term bucket) — instead the
-        text comes from one pushed point lookup on docs, tf is counted
-        driver-side with the same analyzer rules as the build
-        (``analyze_query``'s token pattern / length gates), and the
-        weights come from one tiny job joining that tf list against the
-        term-pruned ``term_stats`` scan through the builder's own
-        ``bm25_weight_expr`` — no formula duplicated, no full-table pass.
-        The term cut ranks on round(weight, 9) so near-ulp weight noise
-        can't flip the LIMIT boundary between runs."""
-        from collections import Counter
-
+        doc-grain lookup there scans every term bucket) — the seed doc's
+        tf vector, its idf join against ``term_stats`` and the weight cut
+        are ONE driver-synchronous job: tokenize the pushed point lookup
+        with the build's own analyzer expression, count terms, broadcast
+        that handful of rows against the term_stats scan through the
+        builder's own ``bm25_weight_expr`` (no formula duplicated, no
+        full-table pass; |dictionary| ≪ |corpus| and the scan is
+        embarrassingly parallel).  ``avgdl`` comes from the searcher's
+        as-of-open stats — no per-call corpus_stats job.  Round-4/5 shape
+        was three jobs per call (point lookup → stats → weights); folding
+        them removed two job floors from the latency path.  The term cut
+        ranks on round(weight, 9) so near-ulp weight noise can't flip the
+        LIMIT boundary between runs."""
         from splade_easy_spark.functions.bm25 import bm25_weight_expr
+        from splade_easy_spark.functions.text import tokenize
 
         if "text" not in self.docs.columns:
             raise ValueError(
                 "more_like_this needs stored text; this index has none "
                 "(vector-mode build)"
             )
-        src_rows = (
+        avgdl = float(self.stats["avgdl"] or 1.0)
+        src = (
             self.docs.where(F.col("doc_id") == doc_id)
             .select("text", "doc_len")
             .limit(1)
-            .collect()
         )
-        if not src_rows:
-            raise KeyError(f"doc_id not in index: {doc_id!r}")
-        text, doc_len = src_rows[0]["text"], int(src_rows[0]["doc_len"])
-        a = self.config.analyzer
-        s = (text or "").lower() if a.lowercase else (text or "")
-        tf = Counter(
-            t
-            for t in re.findall(a.token_pattern, s)
-            if a.min_token_len <= len(t) <= a.max_token_len
-        )
-        if not tf:
-            return self._attach_docs(
-                self.spark.createDataFrame([], "doc_int LONG, score DOUBLE"), False
+        tfdf = (
+            src.select(
+                F.explode(tokenize(F.col("text"), self.config.analyzer)).alias("term"),
+                "doc_len",
             )
-        stats = self.cat.corpus_stats(self.spark)
-        avgdl = float(stats["avgdl"] or 1.0)
-        tfdf = self.spark.createDataFrame(
-            sorted(tf.items()), "term STRING, tf INT"
+            .groupBy("term")
+            .agg(F.count("*").cast("int").alias("tf"), F.first("doc_len").alias("_dl"))
         )
-        ts = (
-            self.cat.read(self.spark, "term_stats")
-            .where(F.col("term").isin(list(tf)))
-            .select("term", "idf")
-        )
+        ts = self.cat.read(self.spark, "term_stats").select("term", "idf")
         picked = (
-            tfdf.join(ts, "term")
+            ts.join(F.broadcast(tfdf), "term")
             .select(
                 "term",
                 bm25_weight_expr(
-                    F.col("tf"), F.lit(doc_len), F.lit(avgdl), F.col("idf"),
+                    F.col("tf"), F.col("_dl"), F.lit(avgdl), F.col("idf"),
                     self.config.bm25,
                 ).alias("w"),
             )
@@ -1157,6 +1145,11 @@ class Searcher:
         )
         terms = [(r["term"], float(r["w"])) for r in picked]
         if not terms:
+            # empty expansion: either the doc is missing (KeyError, as
+            # before) or it has no in-vocabulary terms (empty result) —
+            # disambiguate on the rare path only
+            if src.count() == 0:
+                raise KeyError(f"doc_id not in index: {doc_id!r}")
             return self._attach_docs(
                 self.spark.createDataFrame([], "doc_int LONG, score DOUBLE"), False
             )
