@@ -566,11 +566,7 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = N
         )
         .withColumn("tb", term_bucket_expr(F.col("term"), cfg.term_buckets))
     )
-    # consumed twice (doc_terms write incl. its norms agg + postings pack) —
-    # persist to avoid re-running tokenize+tf+join; DISK spill-safe
     from pyspark import StorageLevel
-
-    weighted = weighted.persist(StorageLevel.MEMORY_AND_DISK)
 
     # norm is denormalized into doc_terms (cosine scoring needs no
     # query-time join); no separate doc_norms table.  The norm agg is
@@ -582,12 +578,17 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = N
     # alternatives lost: a zero-shuffle Arrow norm kernel paid the full
     # frame through Python IPC (23s/62M rows at 8 cores — more than the
     # exchanges it saved), and SMJ paid the big sort.
+    # ``weighted`` itself is deliberately NOT persisted: its two consumers
+    # (the norms agg and the join probe) each re-derive it from the
+    # term_tf cache with one broadcast join + codegen'd weight expression —
+    # cheaper than a second postings-grain cache materialization (round-6
+    # A/B: dropping the weighted persist took the full build 27.8 → 21.7s).
     norms = weighted.groupBy("doc_int").agg(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
     )
     # consumed by BOTH writes (doc_terms and the pack, which needs norm for
     # the cosine nweights) — persist so the pack job doesn't re-run the
-    # norms agg + join; both sides of the join read the weighted cache
+    # norms agg + join
     with_norm = weighted.join(norms.hint("SHUFFLE_HASH"), "doc_int").persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -647,7 +648,6 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = N
         for f in futs:
             f.result()
     with_norm.unpersist()
-    weighted.unpersist()
     if ctx is not None and "term_tf" in ctx:
         ctx.pop("term_tf").unpersist()
 
