@@ -324,35 +324,45 @@ def embedding_near_dup_pairs(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        n = len(pdf)
-        if n < 2:
+        if len(pdf) < 2:
             return empty
-        ids = pdf["_id"].to_numpy()
-        M = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-        norms = np.sqrt((M * M).sum(axis=1))
+        all_ids = pdf["_id"].to_numpy()
+        vecs = [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+        vlens = np.array([len(v) for v in vecs])
         parts = []
-        # bound the cosine matrix chunk to ~4M doubles regardless of |block|
-        chunk = max(1, 4_000_000 // n)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            for lo in range(0, n, chunk):
-                hi = min(lo + chunk, n)
-                C = (M[lo:hi] @ M.T) / np.outer(norms[lo:hi], norms)
-                ii, jj = np.nonzero(C >= thr)  # NaN >= thr is False
-                gi = ii + lo
-                keep = gi < jj  # each unordered pair once, positionally
-                if not keep.any():
-                    continue
-                gi, jj, cc = gi[keep], jj[keep], C[ii[keep], jj[keep]]
-                ia, ib = ids[gi], ids[jj]
-                swap = ib < ia  # id order, not positional order
-                ia2 = np.where(swap, ib, ia)
-                ib2 = np.where(swap, ia, ib)
-                neq = ia2 != ib2  # duplicate id values never self-pair
-                parts.append(
-                    pd.DataFrame(
-                        {"id_a": ia2[neq], "id_b": ib2[neq], "cosine": cc[neq]}
+        # mixed-dimension rows never pair in the HOF formulation either
+        # (zip_with pads with null → null cosine → excluded), so a
+        # per-length gemm reproduces those semantics exactly
+        for d in np.unique(vlens):
+            sel = np.flatnonzero(vlens == d)
+            n = len(sel)
+            if n < 2:
+                continue
+            ids = all_ids[sel]
+            M = np.stack([vecs[i] for i in sel])
+            norms = np.sqrt((M * M).sum(axis=1))
+            # bound the cosine matrix chunk to ~4M doubles per |block|
+            chunk = max(1, 4_000_000 // n)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for lo in range(0, n, chunk):
+                    hi = min(lo + chunk, n)
+                    C = (M[lo:hi] @ M.T) / np.outer(norms[lo:hi], norms)
+                    ii, jj = np.nonzero(C >= thr)  # NaN >= thr is False
+                    gi = ii + lo
+                    keep = gi < jj  # each unordered pair once, positionally
+                    if not keep.any():
+                        continue
+                    gi, jj, cc = gi[keep], jj[keep], C[ii[keep], jj[keep]]
+                    ia, ib = ids[gi], ids[jj]
+                    swap = ib < ia  # id order, not positional order
+                    ia2 = np.where(swap, ib, ia)
+                    ib2 = np.where(swap, ia, ib)
+                    neq = ia2 != ib2  # duplicate id values never self-pair
+                    parts.append(
+                        pd.DataFrame(
+                            {"id_a": ia2[neq], "id_b": ib2[neq], "cosine": cc[neq]}
+                        )
                     )
-                )
         return pd.concat(parts, ignore_index=True) if parts else empty
 
     return sel.groupBy("_blk").applyInPandas(kernel, schema=out_schema)
