@@ -58,8 +58,10 @@ def unigram_logprob(
         # Python kernel (the stats and scoring branches are separate plan
         # subtrees — Catalyst cannot share the opaque kernel between them,
         # so the previous formulation tokenized and counted the corpus
-        # twice through Python; measured 6.6s → 4.4s on the 98k-doc bench
-        # corpus).  Values are identical: Σ_d tf(d,t) ≡ count of t.
+        # twice through Python).  Values are identical: Σ_d tf(d,t) ≡
+        # count of t.  At bench scale the wall-clock gain sits inside this
+        # row's noise band (±2x across runs); the win is the removed
+        # Python boundary pass, which grows with corpus size.
         from splade_easy_spark.functions.text import tokenize
 
         stats = (
