@@ -586,12 +586,15 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = N
     norms = weighted.groupBy("doc_int").agg(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
     )
-    # consumed by BOTH writes (doc_terms and the pack, which needs norm for
-    # the cosine nweights) — persist so the pack job doesn't re-run the
-    # norms agg + join
-    with_norm = weighted.join(norms.hint("SHUFFLE_HASH"), "doc_int").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # consumed by BOTH writes (doc_terms and the pack, which needs norm
+    # for the cosine nweights) — but deliberately NOT persisted either:
+    # the two writes run CONCURRENTLY (below), so each recomputes the
+    # norms agg + join with full-cluster parallelism while the other is
+    # in flight, which measured faster than materializing a postings-
+    # grain cache and reading it twice (round-6 A/B, alternated runs:
+    # 20.0/21.0s without vs 23.0/23.5s with the persist) and holds no
+    # corpus-sized block-manager storage at any point (guide §5)
+    with_norm = weighted.join(norms.hint("SHUFFLE_HASH"), "doc_int")
 
     # hot-term set is tiny by construction (top (1-quantile) of terms by df)
     hot = F.broadcast(
@@ -634,20 +637,17 @@ def _stage_postings(spark: SparkSession, cat: IndexCatalog, ctx: dict | None = N
         ).sortWithinPartitions("term_id", "block_id")
         cat.write(packed, "postings", partition_by=["seg"])
 
-    # the two writes are independent consumers of the same cached frame —
-    # submit them concurrently so the second job's tasks back-fill executor
-    # slots freed by the first job's straggler tail (FIFO scheduling does
-    # exactly this; both jobs read `with_norm` from the block-manager cache,
-    # so there is no duplicated upstream work).  Materialize the cache first
-    # so the two jobs never race to compute the same cached partitions.
-    with_norm.count()
+    # the two writes are independent — submit them concurrently so each
+    # job's tasks back-fill executor slots freed by the other's straggler
+    # tails (guide §2.6; FIFO scheduling does exactly this).  Their shared
+    # upstream reads the term_tf cache, so the only duplicated work is the
+    # cheap JVM join/agg layer above it.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         futs = [pool.submit(_write_doc_terms), pool.submit(_write_postings)]
         for f in futs:
             f.result()
-    with_norm.unpersist()
     if ctx is not None and "term_tf" in ctx:
         ctx.pop("term_tf").unpersist()
 
