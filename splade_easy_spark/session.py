@@ -28,6 +28,13 @@ def get_spark(
         .master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
+        # zstd over snappy (optimization guide §6): measured on the bench
+        # index A/B (alternated runs) — 21% smaller tables (139.8 vs
+        # 176.3 MB), build time unchanged, warm batch-SQL reads ~17%
+        # faster (1.71 vs 2.05 s); at scale the smaller scan bytes are
+        # the dominant effect.  Per-file codec metadata keeps mixed
+        # snappy/zstd indexes readable (append/resume to older indexes).
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
